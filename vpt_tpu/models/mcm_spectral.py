@@ -1,0 +1,328 @@
+"""Spectral multiple-scattering delta-tracking path tracer (the north star).
+
+TPU-native rebuild of the semantics of
+/root/reference/src/wgsl/renderers/MCMSpectralComputeRenderer.wgsl:107-326 and
+its host /root/reference/src/js/renderers/WebGPUMCMSpectralComputeRenderer.js.
+
+Design (vs the reference's one-thread-per-pixel megakernel):
+  - photon state is a pytree of (H, W) lane arrays (SoA) resident on device;
+    spectral bins are a leading (B, H, W) axis — compile-time B like the
+    reference's MAX_N_BINS
+  - the per-pixel branch divergence (out-of-bounds / absorb / scatter / null)
+    becomes lane masking: every lane evaluates every branch, `jnp.where`
+    selects — branch bodies are cheap, so masking beats wavefront splitting
+  - the per-thread hash-chain RNG advances under the same masks, reproducing
+    the reference's data-dependent draw order bit-exactly per lane (see
+    ops/sampling.py); seeds depend only on global pixel coords + frame seed,
+    so renders are bit-identical across device meshes
+  - the `steps` Woodcock loop is a fori_loop inside one jit (one "dispatch");
+    progressive accumulation = repeated dispatches with donated state
+
+Known reference quirks preserved: radiance init to 1.0; y-flipped screen
+coords; light gain 5.0; volume sampled (clamped) before the OOB test.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vpt_tpu.models.base import register_renderer
+from vpt_tpu.ops import geometry, interp, sampling
+from vpt_tpu.utils.config import LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig
+
+EPS = 1e-5
+
+
+class SpectralState(NamedTuple):
+    """Per-pixel photon state (the reference's PhotonSpectral storage buffer)."""
+
+    px: jax.Array  # (H, W) f32 position
+    py: jax.Array
+    pz: jax.Array
+    dx: jax.Array  # (H, W) f32 direction
+    dy: jax.Array
+    dz: jax.Array
+    bounces: jax.Array  # (H, W) i32
+    samples: jax.Array  # (H, W) i32
+    bin: jax.Array  # (H, W) i32
+    wavelength: jax.Array  # (H, W) f32
+    radiance: jax.Array  # (B, H, W) f32
+    transmittance: jax.Array  # (B, H, W) f32
+
+
+class SpectralCtx(NamedTuple):
+    """Dynamic render resources (one jit signature per static config)."""
+
+    inv_mvp: jax.Array  # (4, 4) f32
+    seed_bits: jax.Array  # () uint32 — frame seed bit pattern
+    extinction: jax.Array  # () f32
+    blur: jax.Array  # () f32
+    max_bounces: jax.Array  # () i32
+    light_direction: jax.Array  # (3,) f32
+    density: jax.Array  # (D, H, W) f32
+    material_tf: jax.Array  # (256, 256, 4) f32
+    light_spectrum: jax.Array  # (256,) f32
+    boundaries: jax.Array  # (B+1,) f32 bin boundaries
+    bin_xyz: jax.Array  # (3, B) f32 per-bin CIE coefficients
+
+
+def _pixel_grid(resolution):
+    iy = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 0)
+    ix = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 1)
+    return ix, iy
+
+
+def _wavelength_to_bin(lam, boundaries, n_bins):
+    """bin = number of internal boundaries b_1..b_{n-1} that are <= lam
+    (equivalent to the reference's first-crossing scan, wgsl:283-289)."""
+    b = jnp.zeros(lam.shape, jnp.int32)
+    for i in range(1, n_bins):
+        b = b + (lam >= boundaries[i]).astype(jnp.int32)
+    return b
+
+
+def _respawn(state_rng, mask, sx, sy, ctx: SpectralCtx, n_bins):
+    """PhotonSpectral_reset (wgsl:249-266): new camera ray + hero wavelength.
+
+    Draw order: disk(2) + square(2) inside unprojectRand, then wavelength(1).
+    Returns (state_rng, dict of new lane values).
+    """
+    inv_res = 1.0 / jnp.float32(sx.shape[-1])
+    state_rng, (fx, fy, fz), (tx, ty, tz) = geometry.unproject_rand(
+        state_rng, mask, sx, sy, ctx.inv_mvp, inv_res, ctx.blur
+    )
+    ndx, ndy, ndz = geometry.normalize3(tx - fx, ty - fy, tz - fz)
+    tnear, _ = geometry.intersect_cube(fx, fy, fz, ndx, ndy, ndz)
+    tnear = jnp.maximum(tnear, 0.0)
+    npx = fx + tnear * ndx
+    npy = fy + tnear * ndy
+    npz = fz + tnear * ndz
+
+    lo = ctx.boundaries[0]
+    hi = ctx.boundaries[n_bins]
+    state_rng, u = sampling.draw(state_rng, mask)
+    lam = u * (hi - lo) + lo
+    nbin = _wavelength_to_bin(lam, ctx.boundaries, n_bins)
+    return state_rng, dict(
+        px=npx, py=npy, pz=npz, dx=ndx, dy=ndy, dz=ndz,
+        bounces=jnp.zeros_like(nbin), wavelength=lam, bin=nbin,
+    )
+
+
+def _sample_light(ctx: SpectralCtx, dx, dy, dz, lam):
+    """sample_light (wgsl:62-73): 1D light spectrum x5, optional cosine lobe."""
+    t = (lam - 400.0) / 300.0
+    intensity = interp.sample_tex1d(ctx.light_spectrum, t) * 5.0
+    ld = ctx.light_direction
+    norm = jnp.sqrt(jnp.sum(ld * ld))
+    ldn = ld / jnp.maximum(norm, 1e-30)
+    directional = jnp.maximum((dx * ldn[0] + dy * ldn[1] + dz * ldn[2]) * intensity, 0.0)
+    return jnp.where(norm < EPS, intensity, directional)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "n_bins"))
+def full_reset(ctx: SpectralCtx, resolution: int, n_bins: int) -> SpectralState:
+    """The reset dispatch (wgsl:213-231): fresh photons, radiance = 1."""
+    ix, iy = _pixel_grid(resolution)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+    mask = jnp.ones((resolution, resolution), bool)
+    rng, new = _respawn(rng, mask, sx, sy, ctx, n_bins)
+    shape = (n_bins, resolution, resolution)
+    return SpectralState(
+        px=new["px"], py=new["py"], pz=new["pz"],
+        dx=new["dx"], dy=new["dy"], dz=new["dz"],
+        bounces=jnp.zeros((resolution, resolution), jnp.int32),
+        samples=jnp.zeros((resolution, resolution), jnp.int32),
+        bin=new["bin"], wavelength=new["wavelength"],
+        radiance=jnp.ones(shape, jnp.float32),
+        transmittance=jnp.ones(shape, jnp.float32),
+    )
+
+
+def _render_body(p: SpectralState, rng, sx, sy, ctx: SpectralCtx, n_bins, volume_filter):
+    """One Woodcock iteration over all lanes (wgsl loop body :123-164)."""
+    all_mask = jnp.ones(p.px.shape, bool)
+
+    # free flight
+    rng, dist = sampling.draw_exponential(rng, all_mask, ctx.extinction)
+    px = p.px + dist * p.dx
+    py = p.py + dist * p.dy
+    pz = p.pz + dist * p.dz
+
+    # material lookup: volume density -> 2D TF at (wavelength_t, density)
+    t = (p.wavelength - 400.0) / 300.0
+    dens = interp.sample_volume(ctx.density, px, py, pz, volume_filter)
+    mat = interp.sample_tex2d(ctx.material_tf, t, dens)
+    albedo = mat[..., 0]
+    alpha = mat[..., 1]
+    g = mat[..., 2] * 2.0 - 1.0
+
+    p_null = 1.0 - alpha
+    p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, alpha * albedo)
+    p_absorb = 1.0 - p_null - p_scatter
+
+    rng, wheel = sampling.draw(rng, all_mask)
+
+    oob = (
+        (px > 1.0) | (px < 0.0) | (py > 1.0) | (py < 0.0) | (pz > 1.0) | (pz < 0.0)
+    )
+    absorb = (~oob) & (wheel < p_absorb)
+    scatter = (~oob) & (~absorb) & (wheel < p_absorb + p_scatter)
+    respawn = oob | absorb
+
+    # -- radiance deposit (incremental one-hot mean over all bins) ---------
+    emitted = jnp.where(oob, _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength), 0.0)
+    samples = p.samples + respawn.astype(jnp.int32)
+    one_hot = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_bins,) + p.bin.shape, 0) == p.bin[None]
+    )
+    target = jnp.where(one_hot, emitted[None], 0.0)
+    denom = jnp.maximum(samples, 1).astype(jnp.float32)[None]
+    radiance = jnp.where(
+        respawn[None], p.radiance + (target - p.radiance) / denom, p.radiance
+    )
+    transmittance = jnp.where(respawn[None], 1.0, p.transmittance)
+
+    # -- respawn (masked draws: disk2 + square2 + lambda1) -----------------
+    rng, new = _respawn(rng, respawn, sx, sy, ctx, n_bins)
+
+    # -- scatter (masked draws: sphere2 [+ hg-cos where |g| >= EPS]) -------
+    rng, (hx, hy, hz) = sampling.draw_hg(rng, scatter, g, p.dx, p.dy, p.dz)
+
+    px = jnp.where(respawn, new["px"], px)
+    py = jnp.where(respawn, new["py"], py)
+    pz = jnp.where(respawn, new["pz"], pz)
+    dx = jnp.where(respawn, new["dx"], jnp.where(scatter, hx, p.dx))
+    dy = jnp.where(respawn, new["dy"], jnp.where(scatter, hy, p.dy))
+    dz = jnp.where(respawn, new["dz"], jnp.where(scatter, hz, p.dz))
+    bounces = jnp.where(
+        respawn, 0, p.bounces + scatter.astype(jnp.int32)
+    )
+    lam = jnp.where(respawn, new["wavelength"], p.wavelength)
+    bin_ = jnp.where(respawn, new["bin"], p.bin)
+
+    return (
+        SpectralState(
+            px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+            bounces=bounces, samples=samples, bin=bin_, wavelength=lam,
+            radiance=radiance, transmittance=transmittance,
+        ),
+        rng,
+    )
+
+
+def radiance_to_rgb(radiance, bin_xyz):
+    """(B,H,W) binned radiance -> (H,W,3) linear sRGB (wgsl:304-326)."""
+    xyz = jnp.einsum("bhw,cb->hwc", radiance, bin_xyz)
+    from vpt_tpu.ops.spectral import XYZ_TO_SRGB_KERNEL
+
+    return xyz @ jnp.asarray(XYZ_TO_SRGB_KERNEL).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "n_bins", "volume_filter"),
+    donate_argnames=("state",),
+)
+def render(
+    state: SpectralState,
+    ctx: SpectralCtx,
+    steps: int,
+    n_bins: int,
+    volume_filter: str = "linear",
+):
+    """One render dispatch: `steps` Woodcock iterations + display conversion.
+
+    Returns (new_state, (H, W, 3) linear-RGB image). State is donated: the
+    accumulation buffers live on device across dispatches (the reference's
+    persistent photon storage buffer).
+    """
+    resolution = state.px.shape[-1]
+    ix, iy = _pixel_grid(resolution)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+
+    def body(_, carry):
+        p, r = carry
+        return _render_body(p, r, sx, sy, ctx, n_bins, volume_filter)
+
+    state, rng = jax.lax.fori_loop(0, steps, body, (state, rng))
+    image = radiance_to_rgb(state.radiance, ctx.bin_xyz)
+    return state, image
+
+
+# --------------------------------------------------------------------------
+# Renderer class (factory-facing)
+# --------------------------------------------------------------------------
+@register_renderer("mcm-spectral")
+class MCMSpectralRenderer:
+    """Progressive spectral MCM renderer bound to scene resources."""
+
+    def __init__(
+        self,
+        volume,
+        material_tf: MaterialTF | None = None,
+        light: LightConfig | None = None,
+        spectrum: SpectrumConfig | None = None,
+        config: MCMSpectralConfig | None = None,
+        resolution: int = 512,
+    ):
+        from vpt_tpu.ops.spectral import bin_coefficients
+
+        self.volume = volume
+        self.material_tf = material_tf or MaterialTF.constant(0.5, 0.5)
+        self.light = light or LightConfig()
+        self.spectrum = spectrum or SpectrumConfig()
+        self.config = config or MCMSpectralConfig()
+        self.resolution = resolution
+
+        bx, by, bz = bin_coefficients(np.array(self.spectrum.boundaries))
+        self._bin_xyz = np.stack([bx, by, bz]).astype(np.float32)
+
+        # Scene resources are uploaded once and stay device-resident across
+        # dispatches (unlike the reference, which re-writes the TF textures
+        # every frame — cheap over PCIe, ruinous over anything slower).
+        # Renderer configs are immutable; changing resources = new renderer.
+        cfg = self.config
+        self._static_ctx = dict(
+            extinction=jnp.float32(cfg.extinction),
+            blur=jnp.float32(cfg.blur),
+            max_bounces=jnp.int32(cfg.bounces),
+            light_direction=jnp.asarray(self.light.direction, jnp.float32),
+            density=jnp.asarray(self.volume.density),
+            material_tf=jnp.asarray(self.material_tf.table),
+            light_spectrum=jnp.asarray(self.light.spectrum_array()),
+            boundaries=jnp.asarray(self.spectrum.boundaries, jnp.float32),
+            bin_xyz=jnp.asarray(self._bin_xyz),
+        )
+
+    def ctx(self, camera, seed: int) -> SpectralCtx:
+        """Build the dynamic context for one dispatch.
+
+        ``seed`` is a deterministic per-dispatch integer (the reference used
+        Math.random(); we hash the dispatch index for reproducibility)."""
+        seed_bits = np.uint32(seed) if isinstance(seed, (int, np.integer)) else np.float32(seed).view(np.uint32)
+        return SpectralCtx(
+            inv_mvp=jnp.asarray(camera.inverse_mvp()),
+            seed_bits=jnp.uint32(seed_bits),
+            **self._static_ctx,
+        )
+
+    def reset(self, camera, seed: int = 0) -> SpectralState:
+        return full_reset(self.ctx(camera, seed), self.resolution, self.spectrum.n_bins)
+
+    def render(self, state: SpectralState, camera, seed: int):
+        return render(
+            state,
+            self.ctx(camera, seed),
+            steps=self.config.steps,
+            n_bins=self.spectrum.n_bins,
+            volume_filter=self.volume.filter,
+        )
