@@ -1,0 +1,124 @@
+"""Differentiable inverse rendering: recover a density grid (and transfer
+function) from target renders by gradient descent.
+
+The reference is forward-only; this is the build's new capability
+(BASELINE.json config 4). The EAM forward model (models/raymarch.eam_frame)
+is smooth in (density, tf_table), so plain autodiff through the compositing
+scan gives exact gradients; the spectral MCM path gets its gradients from
+the score-function surrogate in models/mcm_spectral_grad.
+
+Sharding: images/losses are sharded over the "rays" mesh axis, parameters
+replicated — XLA inserts the gradient all-reduce (psum over ICI)
+automatically when differentiating replicated params against a sharded loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from vpt_tpu.models.raymarch import _seed_to_offset, eam_frame
+
+
+class InverseState(NamedTuple):
+    params: dict  # {"density": (D,H,W), "tf_table": (256,256,4)} (any subset)
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def eam_loss(params, inv_mvp, offset, target, static):
+    """MSE between the EAM forward render and a target image."""
+    img = eam_frame(
+        inv_mvp,
+        params["density"],
+        params.get("tf_table", static["tf_table"]),
+        static["extinction"],
+        offset,
+        slices=static["slices"],
+        resolution=static["resolution"],
+        volume_filter=static["volume_filter"],
+    )
+    return jnp.mean((img - target) ** 2)
+
+
+def make_inverse_step(optimizer, static, learn_tf: bool = False):
+    """Build a jitted training step closed over the optimizer and statics."""
+
+    @jax.jit
+    def step(state: InverseState, inv_mvp, offset, target):
+        loss, grads = jax.value_and_grad(eam_loss)(
+            state.params, inv_mvp, offset, target, static
+        )
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # densities are physical: clamp to [0, 1]
+        params = dict(params, density=jnp.clip(params["density"], 0.0, 1.0))
+        if "tf_table" in params:
+            params = dict(params, tf_table=jnp.clip(params["tf_table"], 0.0, 1.0))
+        return InverseState(params, opt_state, state.step + 1), loss
+
+    return step
+
+
+def fit_density(
+    target_images,
+    cameras,
+    init_density,
+    tf_table,
+    extinction: float = 100.0,
+    slices: int = 32,
+    resolution: int = 64,
+    volume_filter: str = "linear",
+    learn_tf: bool = False,
+    iterations: int = 200,
+    learning_rate: float = 0.05,
+    mesh=None,
+    progress=None,
+):
+    """Adam loop recovering density (and optionally the TF) from targets.
+
+    ``target_images``: list of (H, W, 3) arrays; ``cameras``: matching list.
+    Returns (params, losses).
+    """
+    import numpy as np
+
+    static = dict(
+        tf_table=jnp.asarray(tf_table),
+        extinction=jnp.float32(extinction),
+        slices=slices,
+        resolution=resolution,
+        volume_filter=volume_filter,
+    )
+    params = {"density": jnp.asarray(init_density)}
+    if learn_tf:
+        params["tf_table"] = jnp.asarray(tf_table)
+
+    optimizer = optax.adam(learning_rate)
+    state = InverseState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    step = make_inverse_step(optimizer, static, learn_tf)
+
+    inv_mvps = [jnp.asarray(c.inverse_mvp()) for c in cameras]
+    targets = [jnp.asarray(t) for t in target_images]
+    if mesh is not None:
+        from vpt_tpu.parallel.mesh import replicated, row_sharding
+
+        targets = [
+            jax.device_put(t, row_sharding(mesh, 3, 0)) for t in targets
+        ]
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated(mesh)), state
+        )
+
+    losses = []
+    for i in range(iterations):
+        k = i % len(targets)
+        offset = jnp.float32(_seed_to_offset(i))
+        state, loss = step(state, inv_mvps[k], offset, targets[k])
+        losses.append(float(loss))
+        if progress is not None and (i % 20 == 0 or i == iterations - 1):
+            progress(i, losses[-1])
+    return state.params, np.asarray(losses)
