@@ -1,0 +1,134 @@
+"""RGB MCM + MCS renderer tests: structure, physics sanity, determinism."""
+
+import numpy as np
+import pytest
+
+from vpt_tpu.models import make_renderer
+from vpt_tpu.scene.camera import Camera
+from vpt_tpu.scene.tf import TransferFunction2D
+from vpt_tpu.scene.volume import Volume
+from vpt_tpu.utils.config import MCMConfig
+
+RES = 24
+
+
+def _tf(albedo=(0.9, 0.9, 0.9), alpha_ramp=True):
+    t = np.zeros((256, 256, 4), np.float32)
+    t[..., 0], t[..., 1], t[..., 2] = albedo
+    if alpha_ramp:
+        t[..., 3] = np.linspace(0, 1, 256)[None, :]
+    else:
+        t[..., 3] = 0.5
+    tf = TransferFunction2D()
+    object.__setattr__(tf, "rasterize", lambda quantize=True: t)
+    return tf
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return Volume.sphere_in_cube(16), Camera()
+
+
+def test_mcm_vacuum_renders_environment(scene):
+    """Zero-alpha TF = vacuum: every sample escapes with transmittance 1 and
+    the render converges to the environment map exactly."""
+    vol, cam = scene
+    t = np.zeros((256, 256, 4), np.float32)
+    tf = TransferFunction2D()
+    object.__setattr__(tf, "rasterize", lambda quantize=True: t)
+    env = np.full((1, 1, 3), 0.75, np.float32)
+    r = make_renderer("mcm", vol, tf, env,
+                      MCMConfig(extinction=10.0, steps=16), resolution=RES)
+    state = r.reset(cam, 0)
+    for f in range(6):
+        state, img = r.render(state, cam, f + 1)
+    img = np.asarray(img)
+    sampled = np.asarray(state.samples) > 0
+    assert sampled.mean() > 0.9
+    np.testing.assert_allclose(img[sampled], 0.75, atol=1e-5)
+
+
+def test_mcm_dense_absorber_is_black_inside(scene):
+    """Alpha=1, albedo=0 everywhere: every collision absorbs -> radiance 0
+    for rays that enter the cube."""
+    vol, cam = scene
+    t = np.zeros((256, 256, 4), np.float32)
+    t[..., 3] = 1.0
+    tf = TransferFunction2D()
+    object.__setattr__(tf, "rasterize", lambda quantize=True: t)
+    r = make_renderer("mcm", vol, tf, None,
+                      MCMConfig(extinction=200.0, steps=32), resolution=RES)
+    state = r.reset(cam, 0)
+    for f in range(4):
+        state, img = r.render(state, cam, f + 1)
+    img = np.asarray(img)
+    c = RES // 2
+    assert np.asarray(state.samples)[c, c] > 0
+    assert img[c, c].max() < 1e-3
+
+
+def test_mcm_deterministic(scene):
+    vol, cam = scene
+    r = make_renderer("mcm", vol, _tf(), None, MCMConfig(steps=8), resolution=RES)
+    s1 = r.reset(cam, 5)
+    s1, i1 = r.render(s1, cam, 5)
+    s2 = r.reset(cam, 5)
+    s2, i2 = r.render(s2, cam, 5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_mcm_transmittance_attenuates(scene):
+    """Colored scattering (red albedo) with a white env must tint escaping
+    multi-bounce radiance red on average."""
+    vol, cam = scene
+    t = np.zeros((256, 256, 4), np.float32)
+    t[..., 0] = 0.9  # red albedo only
+    t[..., 3] = np.linspace(0, 1, 256)[None, :]
+    tf = TransferFunction2D()
+    object.__setattr__(tf, "rasterize", lambda quantize=True: t)
+    r = make_renderer("mcm", vol, tf, None,
+                      MCMConfig(extinction=50.0, steps=64, bounces=8), resolution=RES)
+    state = r.reset(cam, 3)
+    for f in range(10):
+        state, img = r.render(state, cam, f * 7 + 1)
+    img = np.asarray(img)
+    c = RES // 2
+    # center rays traverse the dense sphere: scattered paths dominate
+    assert img[c, c, 0] > img[c, c, 1] + 0.01
+    assert img[c, c, 0] > img[c, c, 2] + 0.01
+
+
+def test_mcs_vacuum_is_environment(scene):
+    vol, cam = scene
+    t = np.zeros((256, 256, 4), np.float32)
+    tf = TransferFunction2D()
+    object.__setattr__(tf, "rasterize", lambda quantize=True: t)
+    env = np.full((1, 1, 3), 0.6, np.float32)
+    r = make_renderer("mcs", vol, tf, env, extinction=5.0, resolution=RES)
+    state = r.reset(cam)
+    state, img = r.render(state, cam, 1)
+    np.testing.assert_allclose(np.asarray(img), 0.6, atol=1e-5)
+
+
+def test_mcs_shades_collisions(scene):
+    vol, cam = scene
+    r = make_renderer("mcs", vol, _tf(), None, extinction=50.0,
+                      max_collisions=32, resolution=RES)
+    state = r.reset(cam)
+    for f in range(12):
+        state, img = r.render(state, cam, f + 1)
+    img = np.asarray(img)
+    assert np.isfinite(img).all()
+    c = RES // 2
+    # collisions in the dense center attenuate below the white env
+    assert img[c, c].mean() < np.asarray(img)[0, 0].mean()
+
+
+def test_mcs_frame_average(scene):
+    vol, cam = scene
+    r = make_renderer("mcs", vol, _tf(), None, extinction=20.0, resolution=RES)
+    state = r.reset(cam)
+    state, _ = r.render(state, cam, 1)
+    assert int(state["frame"]) == 1
+    state, _ = r.render(state, cam, 2)
+    assert int(state["frame"]) == 2

@@ -146,8 +146,23 @@ def full_reset(ctx: SpectralCtx, resolution: int, n_bins: int) -> SpectralState:
     )
 
 
-def _render_body(p: SpectralState, rng, sx, sy, ctx: SpectralCtx, n_bins, volume_filter):
-    """One Woodcock iteration over all lanes (wgsl loop body :123-164)."""
+def _surrogate(prob, taken):
+    """Score-function surrogate factor: numerically exactly 1.0 where taken,
+    but carrying d(log P)/d(params) under autodiff (REINFORCE-through-
+    the-event-wheel; enables radiative-backprop-style gradients without a
+    tape). Guarded against P -> 0 on the taken branch."""
+    safe = jnp.maximum(prob, 1e-12)
+    return jnp.where(taken, safe / jax.lax.stop_gradient(safe), 1.0)
+
+
+def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
+                 n_bins, volume_filter, diff: bool):
+    """One Woodcock iteration over all lanes (wgsl loop body :123-164).
+
+    ``score``: per-lane REINFORCE weight (None when not differentiating) —
+    the running product of P_event/stop_grad(P_event) since the lane's last
+    respawn. Forward values are bit-identical with and without it.
+    """
     all_mask = jnp.ones(p.px.shape, bool)
 
     # free flight
@@ -175,10 +190,15 @@ def _render_body(p: SpectralState, rng, sx, sy, ctx: SpectralCtx, n_bins, volume
     )
     absorb = (~oob) & (wheel < p_absorb)
     scatter = (~oob) & (~absorb) & (wheel < p_absorb + p_scatter)
+    null = (~oob) & (~absorb) & (~scatter)
     respawn = oob | absorb
 
     # -- radiance deposit (incremental one-hot mean over all bins) ---------
     emitted = jnp.where(oob, _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength), 0.0)
+    if diff:
+        # terminal deposit carries the path's accumulated score weight
+        # (absorb deposits 0, so only escape paths contribute gradient)
+        emitted = emitted * score
     samples = p.samples + respawn.astype(jnp.int32)
     one_hot = (
         jax.lax.broadcasted_iota(jnp.int32, (n_bins,) + p.bin.shape, 0) == p.bin[None]
@@ -195,6 +215,12 @@ def _render_body(p: SpectralState, rng, sx, sy, ctx: SpectralCtx, n_bins, volume
 
     # -- scatter (masked draws: sphere2 [+ hg-cos where |g| >= EPS]) -------
     rng, (hx, hy, hz) = sampling.draw_hg(rng, scatter, g, p.dx, p.dy, p.dz)
+
+    if diff:
+        # continuing events multiply the carried weight; respawned lanes
+        # restart at 1 (their terminal weight was just consumed above)
+        score = score * _surrogate(p_null, null) * _surrogate(p_scatter, scatter)
+        score = jnp.where(respawn, 1.0, score)
 
     px = jnp.where(respawn, new["px"], px)
     py = jnp.where(respawn, new["py"], py)
@@ -215,6 +241,7 @@ def _render_body(p: SpectralState, rng, sx, sy, ctx: SpectralCtx, n_bins, volume
             radiance=radiance, transmittance=transmittance,
         ),
         rng,
+        score,
     )
 
 
@@ -251,11 +278,61 @@ def render(
 
     def body(_, carry):
         p, r = carry
-        return _render_body(p, r, sx, sy, ctx, n_bins, volume_filter)
+        p, r, _ = _render_body(p, r, None, sx, sy, ctx, n_bins, volume_filter, diff=False)
+        return (p, r)
 
     state, rng = jax.lax.fori_loop(0, steps, body, (state, rng))
     image = radiance_to_rgb(state.radiance, ctx.bin_xyz)
     return state, image
+
+
+def render_diff(state: SpectralState, score, ctx: SpectralCtx, steps: int,
+                n_bins: int, volume_filter: str = "linear"):
+    """Differentiable render dispatch (un-jitted building block).
+
+    Identical forward semantics to ``render`` (same RNG consumption, same
+    images bit-for-bit), but the steps loop is a reverse-differentiable
+    ``lax.scan`` threading per-lane REINFORCE score weights, so gradients of
+    the output image flow to density / material TF / light spectrum /
+    extinction. ``score``: (H, W) carried weights (ones after a full reset).
+
+    Returns (state, score, image).
+    """
+    resolution = state.px.shape[-1]
+    ix, iy = _pixel_grid(resolution)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+
+    def body(carry, _):
+        p, r, s = carry
+        p, r, s = _render_body(p, r, s, sx, sy, ctx, n_bins, volume_filter, diff=True)
+        return (p, r, s), None
+
+    (state, rng, score), _ = jax.lax.scan(
+        body, (state, rng, score), None, length=steps
+    )
+    image = radiance_to_rgb(state.radiance, ctx.bin_xyz)
+    return state, score, image
+
+
+def render_sequence_diff(ctx_seeds, init_state, ctx: SpectralCtx, steps: int,
+                         n_bins: int, volume_filter: str = "linear"):
+    """Differentiable multi-dispatch accumulation: scan ``render_diff`` over
+    per-dispatch seeds (rematerialized per dispatch to bound memory).
+
+    ``ctx_seeds``: (K,) uint32 frame seeds. Returns the final HDR image.
+    """
+    score0 = jnp.ones_like(init_state.px)
+
+    @jax.checkpoint
+    def body(carry, seed_bits):
+        state, score = carry
+        c = ctx._replace(seed_bits=seed_bits)
+        state, score, image = render_diff(state, score, c, steps, n_bins, volume_filter)
+        return (state, score), image
+
+    (state, _), images = jax.lax.scan(body, (init_state, score0), ctx_seeds)
+    return images[-1]
 
 
 # --------------------------------------------------------------------------

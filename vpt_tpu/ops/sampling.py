@@ -112,10 +112,12 @@ def draw_hg(state, mask, g, dx, dy, dz):
     aniso = jnp.abs(g) >= EPS
     state, ucos = draw(state, mask & aniso)
 
-    g2 = g * g
-    c = (1.0 - g2) / (1.0 - g + 2.0 * g * ucos)
-    hgcos = (1.0 + g2 - c * c) / (2.0 * g)
-    # guard lanes where g ~ 0 (division above) — they select the sphere sample
+    # double-where: evaluate the inversion with a safe g on isotropic lanes
+    # so neither the primal nor the cotangent produces NaN there
+    gs = jnp.where(aniso, g, 0.5)
+    g2 = gs * gs
+    c = (1.0 - g2) / (1.0 - gs + 2.0 * gs * ucos)
+    hgcos = (1.0 + g2 - c * c) / (2.0 * gs)
     hgcos = jnp.where(aniso, hgcos, 0.0)
 
     udotd = ux * dx + uy * dy + uz * dz
