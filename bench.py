@@ -4,8 +4,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Metric: Mpaths/s/chip on the north-star workload (512^2 framebuffer,
 12 spectral bins, 8 Woodcock steps per dispatch, 128^3 volume). A "path"
-is one completed photon sample (the estimator's unit of work); we also
-report raw Woodcock-step throughput in the detail line on stderr.
+is one completed photon sample (the estimator's unit of work). Dispatches
+are batched on device via render_many; only scalars cross the host link
+during measurement.
 """
 
 import json
@@ -18,8 +19,9 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
-    from vpt_tpu.models.mcm_spectral import MCMSpectralRenderer
+    from vpt_tpu.models import mcm_spectral as M
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
     from vpt_tpu.utils.config import (
@@ -32,7 +34,8 @@ def main():
     resolution = int(os.environ.get("BENCH_RES", "512"))
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     volume_size = int(os.environ.get("BENCH_VOLUME", "128"))
-    target_spp = int(os.environ.get("BENCH_SPP", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
 
     table = np.zeros((256, 256, 4), np.float32)
     dens = np.linspace(0, 1, 256)[:, None]
@@ -40,7 +43,7 @@ def main():
     table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
     table[..., 2] = 0.5
 
-    renderer = MCMSpectralRenderer(
+    renderer = M.MCMSpectralRenderer(
         Volume.sphere_in_cube(volume_size),
         MaterialTF(table),
         LightConfig(direction=(1.0, 0.2, 0.5)),
@@ -49,36 +52,37 @@ def main():
         resolution=resolution,
     )
     camera = Camera()
+    ctx = renderer.ctx(camera, 1)
+
+    def seeds(lo):
+        return jnp.asarray(
+            [(lo + k) * 2654435761 % 2**32 for k in range(batch)], jnp.uint32
+        )
 
     state = renderer.reset(camera, seed=1)
     # warmup/compile
-    state, img = renderer.render(state, camera, 1)
+    state, img = M.render_many(state, ctx, seeds(0), steps=steps, n_bins=12)
     jax.block_until_ready(img)
+    samples_before = int(jnp.sum(state.samples).block_until_ready())
 
-    # measure: dispatches until target mean spp
-    spp0 = float(np.asarray(state.samples).mean())
     t0 = time.perf_counter()
-    frames = 0
-    while True:
-        frames += 1
-        state, img = renderer.render(state, camera, frames * 2654435761 % 2**32)
-        if frames % 16 == 0:
-            jax.block_until_ready(img)
-            if float(np.asarray(state.samples).mean()) - spp0 >= target_spp:
-                break
-            if time.perf_counter() - t0 > 120:
-                break
+    for r in range(reps):
+        state, img = M.render_many(
+            state, ctx, seeds((r + 1) * batch), steps=steps, n_bins=12
+        )
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 
-    spp = float(np.asarray(state.samples).mean()) - spp0
-    paths = spp * resolution * resolution
+    samples_after = int(jnp.sum(state.samples).block_until_ready())
+    paths = samples_after - samples_before
+    dispatches = reps * batch
     mpaths_per_s = paths / dt / 1e6
-    msteps_per_s = frames * resolution * resolution * steps / dt / 1e6
+    msteps_per_s = dispatches * resolution * resolution * steps / dt / 1e6
 
     print(
-        f"# {frames} dispatches in {dt:.2f}s; {spp:.1f} spp; "
-        f"{msteps_per_s:.1f} M woodcock-steps/s",
+        f"# {dispatches} dispatches in {dt:.3f}s; "
+        f"{paths / (resolution * resolution):.1f} spp; "
+        f"{msteps_per_s:.0f} M woodcock-steps/s; {mpaths_per_s:.1f} Mpaths/s",
         file=sys.stderr,
     )
 

@@ -28,7 +28,9 @@ def _renderer(alpha, albedo=0.0, bounces=0, extinction=2.0, steps=8):
     # isotropic light (zero direction) with a flat spectrum
     light = LightConfig(direction=(0.0, 0.0, 0.0))
     cfg = MCMSpectralConfig(extinction=extinction, bounces=bounces, steps=steps)
-    return M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg, resolution=RES)
+    # pack_tables=False: gradients are taken w.r.t. the raw tables
+    return M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                 resolution=RES, pack_tables=False)
 
 
 def test_render_diff_forward_matches_render():

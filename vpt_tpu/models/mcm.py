@@ -190,7 +190,8 @@ class MCMRenderer:
     """Progressive RGB MCM renderer bound to scene resources."""
 
     def __init__(self, volume, tf2d=None, environment=None,
-                 config: MCMConfig | None = None, resolution: int = 512):
+                 config: MCMConfig | None = None, resolution: int = 512,
+                 pack_tables: bool = True):
         from vpt_tpu.scene.tf import TransferFunction2D
 
         self.volume = volume
@@ -199,14 +200,19 @@ class MCMRenderer:
         self.resolution = resolution
         if environment is None:
             environment = np.ones((1, 1, 3), np.float32)  # white fallback env
+        density = volume.density
+        tf_table = self.tf2d.rasterize()
+        if pack_tables and volume.filter in ("linear", "quasicubic"):
+            density = interp.pack_volume_corners(density)
+            tf_table = interp.pack_tex2d_corners(tf_table)
         cfg = self.config
         self._static_ctx = dict(
             extinction=jnp.float32(cfg.extinction),
             blur=jnp.float32(cfg.blur),
             anisotropy=jnp.float32(cfg.anisotropy),
             max_bounces=jnp.int32(cfg.bounces),
-            density=jnp.asarray(volume.density),
-            tf_table=jnp.asarray(self.tf2d.rasterize()),
+            density=jnp.asarray(density),
+            tf_table=jnp.asarray(tf_table),
             environment=jnp.asarray(environment, jnp.float32),
         )
 

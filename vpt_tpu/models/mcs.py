@@ -210,10 +210,15 @@ class MCSRenderer:
         self.resolution = resolution
         if environment is None:
             environment = np.ones((1, 1, 3), np.float32)
+        density = volume.density
+        tf_table = self.tf2d.rasterize()
+        if volume.filter in ("linear", "quasicubic"):
+            density = interp.pack_volume_corners(density)
+            tf_table = interp.pack_tex2d_corners(tf_table)
         self._static_ctx = dict(
             extinction=jnp.float32(extinction),
-            density=jnp.asarray(volume.density),
-            tf_table=jnp.asarray(self.tf2d.rasterize()),
+            density=jnp.asarray(density),
+            tf_table=jnp.asarray(tf_table),
             environment=jnp.asarray(environment, jnp.float32),
         )
 

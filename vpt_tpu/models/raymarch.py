@@ -77,6 +77,18 @@ def sample_tf(density, tf_table, px, py, pz, volume_filter="linear"):
     return interp.sample_tex2d(tf_table, d, jnp.zeros_like(d))
 
 
+
+def _pack_if_linear(volume, tf2d):
+    """Device-resident (density, tf_table), corner-packed for linear filters
+    (single-gather sampling; bit-identical results — see ops/interp)."""
+    density = volume.density
+    tf_table = tf2d.rasterize()
+    if volume.filter in ("linear", "quasicubic"):
+        density = interp.pack_volume_corners(density)
+        tf_table = interp.pack_tex2d_corners(tf_table)
+    return jnp.asarray(density), jnp.asarray(tf_table)
+
+
 # ==========================================================================
 # EAM
 # ==========================================================================
@@ -130,8 +142,7 @@ class EAMRenderer:
         self.tf2d = tf2d or TransferFunction2D.grayscale_ramp()
         self.config = config or EAMConfig()
         self.resolution = resolution
-        self._density = jnp.asarray(volume.density)
-        self._tf_table = jnp.asarray(self.tf2d.rasterize())
+        self._density, self._tf_table = _pack_if_linear(volume, self.tf2d)
 
     def reset(self, camera, seed: int = 0):
         return dict(
@@ -191,8 +202,7 @@ class MIPRenderer:
         self.tf2d = tf2d or TransferFunction2D.grayscale_ramp()
         self.steps = steps
         self.resolution = resolution
-        self._density = jnp.asarray(volume.density)
-        self._tf_table = jnp.asarray(self.tf2d.rasterize())
+        self._density, self._tf_table = _pack_if_linear(volume, self.tf2d)
 
     def reset(self, camera, seed: int = 0):
         return dict(acc=jnp.zeros((self.resolution, self.resolution), jnp.float32))
@@ -277,8 +287,7 @@ class ISORenderer:
         self.isovalue = isovalue
         self.light = np.asarray(light, np.float64)
         self.resolution = resolution
-        self._density = jnp.asarray(volume.density)
-        self._tf_table = jnp.asarray(self.tf2d.rasterize())
+        self._density, self._tf_table = _pack_if_linear(volume, self.tf2d)
 
     def reset(self, camera, seed: int = 0):
         neg = jnp.full((self.resolution, self.resolution), -1.0, jnp.float32)
@@ -373,8 +382,7 @@ class DepthRenderer:
         self.threshold = threshold
         self.random_offset = random_offset
         self.resolution = resolution
-        self._density = jnp.asarray(volume.density)
-        self._tf_table = jnp.asarray(self.tf2d.rasterize())
+        self._density, self._tf_table = _pack_if_linear(volume, self.tf2d)
 
     def reset(self, camera, seed: int = 0):
         return dict(frame=jnp.zeros((), jnp.int32))
