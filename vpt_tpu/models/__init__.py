@@ -5,3 +5,5 @@ from vpt_tpu.models import mcm_spectral  # noqa: F401
 from vpt_tpu.models import mcm  # noqa: F401
 from vpt_tpu.models import mcs  # noqa: F401
 from vpt_tpu.models import raymarch  # noqa: F401
+from vpt_tpu.models import dos  # noqa: F401
+from vpt_tpu.models import lao  # noqa: F401

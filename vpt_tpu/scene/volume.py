@@ -43,8 +43,18 @@ class Volume:
         height: int,
         depth: int,
         progress: Optional[Callable[[float], None]] = None,
+        use_native: bool = True,
     ) -> "Volume":
-        """Stream a headerless uint8 RAW volume through the block reader."""
+        """Load a headerless uint8 RAW volume.
+
+        Uses the native mmap+threads loader (native/vptio.cpp) when built and
+        no per-block progress is requested; the pure-Python block reader is
+        the fallback (both produce identical arrays)."""
+        if use_native and progress is None:
+            from vpt_tpu.scene import native_io
+
+            if native_io.available():
+                return Volume(density=native_io.load_raw_f32(path, width, height, depth))
         reader = io.RAWReader(io.FileLoader(path), width, height, depth)
         return Volume.from_reader(reader, progress=progress)
 
