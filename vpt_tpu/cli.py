@@ -205,7 +205,7 @@ def cmd_invert(args):
     ]
     D = target_vol.density.shape[0]
     params, losses = fit_density(
-        targets, cameras, np.zeros((D, D, D), np.float32), tf,
+        targets, cameras, np.full((D, D, D), 0.2, np.float32), tf,
         extinction=args.extinction, slices=32, resolution=args.resolution,
         iterations=args.iterations,
         progress=lambda i, l: print(f"iter {i}: loss {l:.6f}", file=sys.stderr),

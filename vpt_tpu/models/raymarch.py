@@ -123,8 +123,9 @@ def eam_frame(inv_mvp, density, tf_table, extinction, offset, slices: int,
 
     z = jnp.zeros((res, res), jnp.float32)
     (r, g, b, a), _ = jax.lax.scan(body, (z, z, z, z), jnp.arange(slices + 1))
-    # over-saturation renormalization (glsl:71-73)
-    scale = jnp.where(a > 1.0, 1.0 / a, 1.0)
+    # over-saturation renormalization (glsl:71-73); max() keeps the unselected
+    # 1/a branch finite at a=0 so cotangents don't NaN through the where
+    scale = jnp.where(a > 1.0, 1.0 / jnp.maximum(a, 1.0), 1.0)
     rgb = jnp.stack([r * scale, g * scale, b * scale], axis=-1)
     return jnp.where(miss[..., None], 0.0, rgb)
 
