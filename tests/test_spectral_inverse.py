@@ -1,0 +1,79 @@
+"""Spectral inverse rendering (config 4): recover material parameters from a
+target spectral render via the REINFORCE-surrogate gradients."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vpt_tpu.models import mcm_spectral as M
+from vpt_tpu.optim import fit_spectral
+from vpt_tpu.scene.camera import Camera
+from vpt_tpu.scene.volume import Volume
+from vpt_tpu.utils.config import LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig
+
+RES = 16
+
+
+def _renderer(alpha):
+    vol = Volume(density=np.full((4, 4, 4), 0.5, np.float32))
+    mat = MaterialTF.constant(albedo=0.0, alpha=alpha)
+    light = LightConfig(direction=(0.0, 0.0, 0.0))
+    cfg = MCMSpectralConfig(extinction=2.0, bounces=0, steps=8)
+    return M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                 resolution=RES, pack_tables=False)
+
+
+def _converged_target(alpha, dispatches=64, seed=5):
+    r = _renderer(alpha)
+    cam = Camera()
+    state = r.reset(cam, seed)
+    seeds = [np.uint32((seed + k + 1) * 2654435761 % 2**32) for k in range(dispatches)]
+    state, img = r.render_many(state, cam, seeds)
+    return np.asarray(img)
+
+
+def test_recover_alpha_from_spectral_target():
+    """Start the TF alpha at the wrong value; the optimizer must move it
+    toward the truth using score-function gradients."""
+    true_alpha = 0.6
+    target = _converged_target(true_alpha)
+
+    r = _renderer(0.2)  # wrong initial alpha
+    cam = Camera()
+    init = {"material_tf": r.material_tf.table.copy()}
+    params, losses = fit_spectral(
+        target, r, cam, init, dispatches_per_step=6, iterations=120,
+        learning_rate=0.05, seed=11,
+    )
+    mt = np.asarray(params["material_tf"])
+    # the constant-density (0.5) volume only exercises TF rows 127/128 —
+    # gradient lands there; other rows must be untouched
+    rec_alpha = float(mt[127:129, :, 1].mean())
+    untouched = float(mt[0:100, :, 1].mean())
+    assert losses[-1] < losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
+    assert rec_alpha > 0.4, f"alpha barely moved: {rec_alpha}"
+    assert abs(rec_alpha - true_alpha) < abs(0.2 - true_alpha)
+    assert untouched == pytest.approx(0.2, abs=1e-5)
+
+
+def test_spectral_loss_gradient_is_stochastic_but_consistent():
+    """Different sample streams give different losses but both finite."""
+    import jax
+
+    from vpt_tpu.optim import spectral_render_loss
+
+    r = _renderer(0.5)
+    cam = Camera()
+    ctx = r.ctx(cam, 3)
+    state0 = r.reset(cam, 3)
+    target = jnp.zeros((RES, RES, 3))
+    p = {"material_tf": jnp.asarray(r.material_tf.table)}
+
+    for s in (1, 2):
+        seeds = jnp.asarray([s * 7 + 1, s * 7 + 2], jnp.uint32)
+        loss, g = jax.value_and_grad(spectral_render_loss)(
+            p, state0, ctx, seeds, target, 4, 12
+        )
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(g["material_tf"])).all()

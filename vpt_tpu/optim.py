@@ -64,6 +64,86 @@ def make_inverse_step(optimizer, static, learn_tf: bool = False):
     return step
 
 
+def spectral_render_loss(params, state0, base_ctx, seeds, target, steps, n_bins):
+    """MSE between a differentiable spectral MCM render and a target.
+
+    ``params`` may override any of: density, material_tf, light_spectrum,
+    extinction (raw/unpacked tables — see MCMSpectralRenderer pack_tables).
+    Gradients through the discrete Woodcock events use the REINFORCE
+    surrogate (models/mcm_spectral._surrogate).
+    """
+    from vpt_tpu.models.mcm_spectral import render_sequence_diff
+
+    ctx = base_ctx._replace(**params)
+    img = render_sequence_diff(seeds, state0, ctx, steps=steps, n_bins=n_bins)
+    return jnp.mean((img - target) ** 2)
+
+
+def make_spectral_inverse_step(optimizer, state0, base_ctx, steps, n_bins,
+                               clip_params=("density", "material_tf")):
+    """Jitted Adam step for spectral inverse rendering (BASELINE config 4)."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def step(istate: InverseState, seeds, target):
+        loss, grads = jax.value_and_grad(spectral_render_loss)(
+            istate.params, state0, base_ctx, seeds, target, steps, n_bins
+        )
+        updates, opt_state = optimizer.update(grads, istate.opt_state, istate.params)
+        params = optax.apply_updates(istate.params, updates)
+        for key in clip_params:
+            if key in params:
+                params = dict(params, **{key: jnp.clip(params[key], 0.0, 1.0)})
+        return InverseState(params, opt_state, istate.step + 1), loss
+
+    return step
+
+
+def fit_spectral(
+    target_image,
+    renderer,
+    camera,
+    init_params: dict,
+    dispatches_per_step: int = 8,
+    iterations: int = 100,
+    learning_rate: float = 0.02,
+    seed: int = 0,
+    progress=None,
+):
+    """Recover spectral-MCM scene parameters from a target HDR render.
+
+    ``renderer``: an MCMSpectralRenderer built with pack_tables=False (the
+    gradients address the raw tables). ``init_params``: subset of
+    {density, material_tf, light_spectrum, extinction} as arrays.
+    Fresh Monte-Carlo sample streams are drawn every iteration (stochastic
+    gradients; the estimator's expectation matches the converged render).
+    """
+    import numpy as np
+
+    base_ctx = renderer.ctx(camera, seed)
+    state0 = renderer.reset(camera, seed)
+    steps = renderer.config.steps
+    n_bins = renderer.spectrum.n_bins
+
+    params = {k: jnp.asarray(v) for k, v in init_params.items()}
+    optimizer = optax.adam(learning_rate)
+    istate = InverseState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+    step = make_spectral_inverse_step(optimizer, state0, base_ctx, steps, n_bins)
+
+    target = jnp.asarray(target_image)
+    losses = []
+    for i in range(iterations):
+        seeds = jnp.asarray(
+            [np.uint32((seed + 1 + i * dispatches_per_step + k) * 2654435761 % 2**32)
+             for k in range(dispatches_per_step)],
+            jnp.uint32,
+        )
+        istate, loss = step(istate, seeds, target)
+        losses.append(float(loss))
+        if progress is not None and (i % 10 == 0 or i == iterations - 1):
+            progress(i, losses[-1])
+    return istate.params, losses
+
+
 def fit_density(
     target_images,
     cameras,
