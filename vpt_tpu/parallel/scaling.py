@@ -1,0 +1,168 @@
+"""Multi-host / multi-chip scaling harness (BASELINE config 5).
+
+Three pieces:
+  - ``initialize_distributed()``: the jax.distributed bootstrap for
+    multi-host pods (no-op when the coordinator env isn't set).
+  - ``collective_microbench(mesh)``: achieved psum / all_gather bandwidth
+    over the mesh's interconnect — reported next to scaling numbers
+    (SURVEY.md §5 distributed-communication entry).
+  - ``scaling_sweep(...)``: rays/s for the spectral render dispatch on
+    1..N-device meshes, with efficiency vs the single-device baseline.
+    Runs identically on real chips and on the virtual CPU mesh used in CI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+
+
+def initialize_distributed():
+    """Initialize jax.distributed from standard env vars; safe to call when
+    single-process (returns False)."""
+    import jax
+
+    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
+def _sync(x) -> float:
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def collective_microbench(mesh, size_mb: float = 64.0, reps: int = 10) -> dict:
+    """Measure psum and all_gather throughput over ``mesh`` ("rays" axis)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.devices.size
+    elems = int(size_mb * 1e6 / 4)
+    elems -= elems % max(n, 1)
+    x = jnp.ones((elems,), jnp.float32)
+    xs = jax.device_put(x, NamedSharding(mesh, P("rays")))
+
+    @jax.jit
+    def do_psum(v):
+        return jax.shard_map(
+            lambda s: jax.lax.psum(s, "rays"),
+            mesh=mesh, in_specs=P("rays"), out_specs=P("rays"),
+            check_vma=False,
+        )(v)
+
+    @jax.jit
+    def do_allgather(v):
+        return jax.shard_map(
+            lambda s: jax.lax.all_gather(s, "rays", tiled=True),
+            mesh=mesh, in_specs=P("rays"), out_specs=P(None),
+            check_vma=False,
+        )(v)
+
+    out = {}
+    for name, fn in [("psum", do_psum), ("all_gather", do_allgather)]:
+        r = fn(xs)
+        _sync(r)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            r = fn(xs)
+        _sync(r)
+        dt = (time.perf_counter() - t0) / reps
+        # bytes moved per device (ring lower bound): 2(n-1)/n * size
+        moved = 2 * (n - 1) / max(n, 1) * elems * 4
+        out[f"{name}_s"] = dt
+        out[f"{name}_GBps"] = moved / dt / 1e9 if dt > 0 else float("inf")
+    out["devices"] = n
+    out["size_mb"] = elems * 4 / 1e6
+    return out
+
+
+def scaling_sweep(
+    device_counts: Optional[List[int]] = None,
+    resolution_per_device: int = 128,
+    volume_size: int = 64,
+    steps: int = 8,
+    dispatches: int = 16,
+    verbose: bool = True,
+) -> List[dict]:
+    """Weak-scaling sweep of the spectral render dispatch.
+
+    Each mesh size renders a framebuffer with ``resolution_per_device`` rows
+    per device (constant per-device work — weak scaling), measuring
+    rays/s and efficiency vs. the single-device run.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.parallel.mesh import ray_mesh, shard_ctx, shard_spectral_state
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    if device_counts is None:
+        total = len(jax.devices())
+        device_counts = sorted({1, 2, total} & set(range(1, total + 1))) or [1]
+
+    results = []
+    base_rate = None
+    for n in device_counts:
+        res = resolution_per_device * n
+        renderer = M.MCMSpectralRenderer(
+            Volume.sphere_in_cube(volume_size),
+            MaterialTF.constant(0.8, 0.5),
+            LightConfig(direction=(1.0, 0.2, 0.5)),
+            SpectrumConfig(),
+            MCMSpectralConfig(extinction=40.0, steps=steps),
+            resolution=res,
+        )
+        cam = Camera()
+        mesh = ray_mesh(n)
+        ctx = shard_ctx(renderer.ctx(cam, 1), mesh)
+        state = shard_spectral_state(renderer.reset(cam, 1), mesh)
+        seeds = jnp.asarray(
+            [(k + 1) * 2654435761 % 2**32 for k in range(dispatches)], jnp.uint32
+        )
+        # warm
+        state, img = M.render_many(state, ctx, seeds, steps=steps, n_bins=12)
+        _sync(img)
+        t0 = time.perf_counter()
+        state, img = M.render_many(state, ctx, seeds, steps=steps, n_bins=12)
+        _sync(img)
+        dt = time.perf_counter() - t0
+        rays = res * res * dispatches
+        rate = rays / dt
+        rate_per_dev = rate / n
+        if base_rate is None:
+            base_rate = rate_per_dev
+        eff = rate_per_dev / base_rate
+        row = dict(devices=n, resolution=res, rays_per_s=rate,
+                   rays_per_s_per_device=rate_per_dev, efficiency=eff,
+                   seconds=dt)
+        results.append(row)
+        if verbose:
+            print(f"devices={n:2d} res={res:4d} rays/s={rate:,.0f} "
+                  f"eff={eff:.1%}")
+    return results
+
+
+if __name__ == "__main__":
+    import json
+
+    initialize_distributed()
+    rows = scaling_sweep()
+    import jax
+
+    if len(jax.devices()) > 1:
+        from vpt_tpu.parallel.mesh import ray_mesh
+
+        print(json.dumps(collective_microbench(ray_mesh())))
+    print(json.dumps(rows))

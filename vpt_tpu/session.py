@@ -167,7 +167,7 @@ class RenderSession:
             base_seed=self.base_seed,
             renderer_key=self.renderer_key,
             n_leaves=len(leaves),
-            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+            **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)},
         )
 
     def load_checkpoint(self, path: str):
@@ -183,11 +183,18 @@ class RenderSession:
         leaves, treedef = jax.tree.flatten(template)
         n = int(data["n_leaves"])
         assert n == len(leaves), "checkpoint structure mismatch"
-        new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
-        for old, new in zip(leaves, new_leaves):
-            assert old.shape == new.shape and old.dtype == new.dtype, (
-                f"leaf mismatch: {old.shape}/{old.dtype} vs {new.shape}/{new.dtype}"
+        new_leaves = []
+        for i, old in enumerate(leaves):
+            saved = data[f"leaf_{i}"]
+            if isinstance(old, (int, float)):  # host-scalar leaves (e.g. DOS depth)
+                new_leaves.append(type(old)(saved))
+                continue
+            old_arr = np.asarray(old)
+            assert old_arr.shape == saved.shape and old_arr.dtype == saved.dtype, (
+                f"leaf mismatch: {old_arr.shape}/{old_arr.dtype} vs "
+                f"{saved.shape}/{saved.dtype}"
             )
+            new_leaves.append(jnp.asarray(saved))
         self.state = jax.tree.unflatten(treedef, new_leaves)
         self.frame = int(data["frame"])
         self.base_seed = int(data["base_seed"])
