@@ -35,6 +35,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "8"))
     volume_size = int(os.environ.get("BENCH_VOLUME", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "64"))
+    streams = int(os.environ.get("BENCH_STREAMS", "4"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     table = np.zeros((256, 256, 4), np.float32)
@@ -50,6 +51,7 @@ def main():
         SpectrumConfig(),
         MCMSpectralConfig(extinction=40.0, bounces=8, steps=steps),
         resolution=resolution,
+        streams=streams,
     )
     camera = Camera()
     ctx = renderer.ctx(camera, 1)

@@ -61,3 +61,37 @@ def test_packed_tex1d_bit_exact():
     a = np.asarray(interp.sample_tex1d(jnp.asarray(tex), us))
     b = np.asarray(interp.sample_tex1d(jnp.asarray(packed), us))
     np.testing.assert_array_equal(a, b)
+
+
+def test_streams_converge_to_same_image():
+    """S>1 sample streams must estimate the same image as S=1 (different
+    sample sequences, same distribution) and stream 0 must be bit-identical
+    to the S=1 layout after reset."""
+    from vpt_tpu.models.mcm_spectral import MCMSpectralRenderer
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (LightConfig, MaterialTF,
+                                      MCMSpectralConfig, SpectrumConfig)
+
+    vol = Volume.sphere_in_cube(16)
+    args = (MaterialTF.constant(0.8, 0.6), LightConfig(),
+            SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=4))
+    cam = Camera()
+    r1 = MCMSpectralRenderer(vol, *args, resolution=16, streams=1)
+    r4 = MCMSpectralRenderer(vol, *args, resolution=16, streams=4)
+
+    s1 = r1.reset(cam, 3)
+    s4 = r4.reset(cam, 3)
+    assert np.asarray(s4.px).shape == (4, 16, 16)
+    np.testing.assert_array_equal(np.asarray(s4.px)[0], np.asarray(s1.px))
+    np.testing.assert_array_equal(np.asarray(s4.wavelength)[0],
+                                  np.asarray(s1.wavelength))
+
+    for f in range(24):
+        s1, i1 = r1.render(s1, cam, f + 1)
+        s4, i4 = r4.render(s4, cam, f + 1)
+    i1, i4 = np.asarray(i1), np.asarray(i4)
+    assert i4.shape == i1.shape == (16, 16, 3)
+    # 4x the samples -> same expected image within MC noise
+    assert np.abs(i1.mean() - i4.mean()) < 0.15
+    assert np.corrcoef(i1.ravel(), i4.ravel())[0, 1] > 0.8

@@ -72,10 +72,28 @@ class SpectralCtx(NamedTuple):
     bin_xyz: jax.Array  # (3, B) f32 per-bin CIE coefficients
 
 
-def _pixel_grid(resolution):
-    iy = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 0)
-    ix = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 1)
-    return ix, iy
+def _pixel_grid(resolution, streams: int = 1):
+    """Per-lane pixel coordinates, optionally with S independent sample
+    streams per pixel (lane shape (S, H, W)).
+
+    Streams amortize the TPU's per-gather-op cost (which is strongly
+    sub-linear in lane count) by keeping S photons in flight per pixel.
+    Stream s seeds its RNG chain as pixel row (y + s*resolution) — exactly
+    the chain a taller framebuffer would use, so stream 0 is bit-identical
+    to the reference layout and renders stay mesh-shape/stream-count
+    deterministic.
+
+    Returns (ix, iy, seed_iy): screen coords + the seeding row.
+    """
+    if streams == 1:
+        iy = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 0)
+        ix = jax.lax.broadcasted_iota(jnp.uint32, (resolution, resolution), 1)
+        return ix, iy, iy
+    shape = (streams, resolution, resolution)
+    s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    iy = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    ix = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    return ix, iy, iy + s * jnp.uint32(resolution)
 
 
 def _wavelength_to_bin(lam, boundaries, n_bins):
@@ -126,20 +144,22 @@ def _sample_light(ctx: SpectralCtx, dx, dy, dz, lam):
     return jnp.where(norm < EPS, intensity, directional)
 
 
-@functools.partial(jax.jit, static_argnames=("resolution", "n_bins"))
-def full_reset(ctx: SpectralCtx, resolution: int, n_bins: int) -> SpectralState:
+@functools.partial(jax.jit, static_argnames=("resolution", "n_bins", "streams"))
+def full_reset(ctx: SpectralCtx, resolution: int, n_bins: int,
+               streams: int = 1) -> SpectralState:
     """The reset dispatch (wgsl:213-231): fresh photons, radiance = 1."""
-    ix, iy = _pixel_grid(resolution)
+    ix, iy, seed_iy = _pixel_grid(resolution, streams)
     sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
-    mask = jnp.ones((resolution, resolution), bool)
+    rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+    lane_shape = ix.shape
+    mask = jnp.ones(lane_shape, bool)
     rng, new = _respawn(rng, mask, sx, sy, ctx, n_bins)
-    shape = (n_bins, resolution, resolution)
+    shape = (n_bins,) + lane_shape
     return SpectralState(
         px=new["px"], py=new["py"], pz=new["pz"],
         dx=new["dx"], dy=new["dy"], dz=new["dz"],
-        bounces=jnp.zeros((resolution, resolution), jnp.int32),
-        samples=jnp.zeros((resolution, resolution), jnp.int32),
+        bounces=jnp.zeros(lane_shape, jnp.int32),
+        samples=jnp.zeros(lane_shape, jnp.int32),
         bin=new["bin"], wavelength=new["wavelength"],
         radiance=jnp.ones(shape, jnp.float32),
         transmittance=jnp.ones(shape, jnp.float32),
@@ -246,7 +266,12 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
 
 
 def radiance_to_rgb(radiance, bin_xyz):
-    """(B,H,W) binned radiance -> (H,W,3) linear sRGB (wgsl:304-326)."""
+    """Binned radiance -> (H,W,3) linear sRGB (wgsl:304-326).
+
+    Accepts (B,H,W) or (B,S,H,W); stream estimates average equally (the
+    XYZ map is linear, so mean-then-convert == convert-then-mean)."""
+    if radiance.ndim == 4:
+        radiance = jnp.mean(radiance, axis=1)
     xyz = jnp.einsum("bhw,cb->hwc", radiance, bin_xyz)
     from vpt_tpu.ops.spectral import XYZ_TO_SRGB_KERNEL
 
@@ -272,9 +297,10 @@ def render(
     persistent photon storage buffer).
     """
     resolution = state.px.shape[-1]
-    ix, iy = _pixel_grid(resolution)
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
+    ix, iy, seed_iy = _pixel_grid(resolution, streams)
     sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+    rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
 
     def body(_, carry):
         p, r = carry
@@ -307,11 +333,12 @@ def render_many(
     with those seeds. Returns (state, final HDR image).
     """
     resolution = state.px.shape[-1]
-    ix, iy = _pixel_grid(resolution)
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
+    ix, iy, seed_iy = _pixel_grid(resolution, streams)
     sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
 
     def dispatch(p, seed_bits):
-        rng = sampling.seed_state(ix, iy, seed_bits)
+        rng = sampling.seed_state(ix, seed_iy, seed_bits)
 
         def body(_, carry):
             q, r = carry
@@ -340,9 +367,10 @@ def render_diff(state: SpectralState, score, ctx: SpectralCtx, steps: int,
     Returns (state, score, image).
     """
     resolution = state.px.shape[-1]
-    ix, iy = _pixel_grid(resolution)
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
+    ix, iy, seed_iy = _pixel_grid(resolution, streams)
     sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-    rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+    rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
 
     def body(carry, _):
         p, r, s = carry
@@ -392,6 +420,7 @@ class MCMSpectralRenderer:
         config: MCMSpectralConfig | None = None,
         resolution: int = 512,
         pack_tables: bool = True,
+        streams: int = 1,
     ):
         from vpt_tpu.ops.spectral import bin_coefficients
 
@@ -401,6 +430,10 @@ class MCMSpectralRenderer:
         self.spectrum = spectrum or SpectrumConfig()
         self.config = config or MCMSpectralConfig()
         self.resolution = resolution
+        # S independent photon streams per pixel: same converged image,
+        # ~2-3x throughput (amortizes the per-gather-op cost); S=1 is the
+        # reference-exact layout
+        self.streams = streams
 
         bx, by, bz = bin_coefficients(np.array(self.spectrum.boundaries))
         self._bin_xyz = np.stack([bx, by, bz]).astype(np.float32)
@@ -445,7 +478,8 @@ class MCMSpectralRenderer:
         )
 
     def reset(self, camera, seed: int = 0) -> SpectralState:
-        return full_reset(self.ctx(camera, seed), self.resolution, self.spectrum.n_bins)
+        return full_reset(self.ctx(camera, seed), self.resolution,
+                          self.spectrum.n_bins, streams=self.streams)
 
     def render(self, state: SpectralState, camera, seed: int):
         return render(
