@@ -17,6 +17,84 @@ import time
 import numpy as np
 
 
+def main_grad():
+    """BENCH_MODE=grad: fwd+bwd throughput of the differentiable spectral
+    path (value_and_grad of an image loss w.r.t. the density grid)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.optim import spectral_render_loss
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    # smaller default workload: the reverse-mode program over a scan of
+    # dispatches is a much bigger compile than the forward path
+    resolution = int(os.environ.get("BENCH_RES", "256"))
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
+    volume_size = int(os.environ.get("BENCH_VOLUME", "128"))
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    renderer = M.MCMSpectralRenderer(
+        Volume.sphere_in_cube(volume_size),
+        MaterialTF.constant(0.8, 0.5),
+        LightConfig(direction=(1.0, 0.2, 0.5)),
+        SpectrumConfig(),
+        MCMSpectralConfig(extinction=40.0, steps=steps),
+        resolution=resolution,
+        pack_tables=False,
+    )
+    camera = Camera()
+    ctx = renderer.ctx(camera, 1)
+    state0 = renderer.reset(camera, 1)
+    target = jnp.zeros((resolution, resolution, 3), jnp.float32)
+    params = {"density": ctx.density}
+
+    # single-dispatch reverse program; everything (ctx/state/target) passed
+    # as arguments — closure constants make remote lowering pathologically
+    # slow (426s vs 13s measured)
+    def loss_fn(p, ctx_in, s0, tgt, seed_bits):
+        c = ctx_in._replace(density=p["density"], seed_bits=seed_bits)
+        score = jnp.ones_like(s0.px)
+        _, _, img = M.render_diff(s0, score, c, steps, 12)
+        return jnp.mean((img - tgt) ** 2)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+
+    loss, g = grad_fn(params, ctx, state0, target, jnp.uint32(1))
+    float(jnp.sum(g["density"]))
+    n_calls = reps * batch
+    t0 = time.perf_counter()
+    for r in range(n_calls):
+        loss, g = grad_fn(params, ctx, state0, target,
+                          jnp.uint32((r + 2) * 2654435761 % 2**32))
+    float(jnp.sum(g["density"]))
+    dt = time.perf_counter() - t0
+
+    # fwd+bwd paths: completed samples of the same dispatches, forward
+    st, _ = M.render_many(
+        state0, ctx,
+        jnp.asarray([(r + 2) * 2654435761 % 2**32 for r in range(n_calls)], jnp.uint32),
+        steps=steps, n_bins=12,
+    )
+    paths = int(jnp.sum(st.samples))
+    mpaths = paths / dt / 1e6
+    print(
+        f"# grad mode: {n_calls} dispatches fwd+bwd in {dt:.2f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "spectral_mcm_fwd_bwd_throughput",
+        "value": round(mpaths, 3),
+        "unit": "Mpaths/s/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -110,4 +188,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "grad":
+        main_grad()
+    else:
+        main()

@@ -42,6 +42,24 @@ def _load_volume(args):
     raise SystemExit(f"unrecognized volume: {args.volume}")
 
 
+def _load_envmap(args):
+    """Load an equirect environment map image -> (H, W, 3) float [0,1]."""
+    if not getattr(args, "envmap", None):
+        return None
+    import numpy as np
+
+    if args.envmap.endswith(".npy"):
+        img = np.load(args.envmap)
+    else:
+        from PIL import Image
+
+        img = np.asarray(Image.open(args.envmap).convert("RGB"))
+    img = np.asarray(img, np.float32)
+    if img.max() > 1.5:
+        img = img / 255.0
+    return img[..., :3]
+
+
 def _make_session(args):
     from vpt_tpu.session import RenderSession
     from vpt_tpu.utils.config import (
@@ -68,11 +86,11 @@ def _make_session(args):
             MCMSpectralConfig(extinction=args.extinction, bounces=args.bounces,
                               steps=args.steps),
             tonemapper=args.tonemapper, resolution=args.resolution,
-            base_seed=args.seed,
+            base_seed=args.seed, streams=args.streams,
         )
     elif key == "mcm":
         sess = RenderSession(
-            key, volume, None, None,
+            key, volume, None, _load_envmap(args),
             MCMConfig(extinction=args.extinction, bounces=args.bounces,
                       steps=args.steps),
             tonemapper=args.tonemapper, resolution=args.resolution,
@@ -235,6 +253,9 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--light", type=float, nargs=3, default=[1.0, 0.2, 0.5])
         sp.add_argument("--material", help=".npy uint8 (256,256,4) material TF")
+        sp.add_argument("--envmap", help="equirect environment image (PNG/NPY) for mcm/mcs")
+        sp.add_argument("--streams", type=int, default=1,
+                        help="parallel sample streams per pixel (mcm-spectral)")
         sp.add_argument("--orbit", type=float, nargs=3,
                         metavar=("YAW", "PITCH", "DIST"))
 

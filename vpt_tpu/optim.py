@@ -79,12 +79,18 @@ def spectral_render_loss(params, state0, base_ctx, seeds, target, steps, n_bins)
     return jnp.mean((img - target) ** 2)
 
 
-def make_spectral_inverse_step(optimizer, state0, base_ctx, steps, n_bins,
+def make_spectral_inverse_step(optimizer, steps, n_bins,
                                clip_params=("density", "material_tf")):
-    """Jitted Adam step for spectral inverse rendering (BASELINE config 4)."""
+    """Jitted Adam step for spectral inverse rendering (BASELINE config 4).
 
-    @functools.partial(jax.jit, static_argnames=())
-    def step(istate: InverseState, seeds, target):
+    state0/base_ctx are call arguments, not closure captures: large
+    closed-over constants get serialized into the lowered module, which is
+    pathologically slow on remote-compile toolchains (measured 426s vs 13s
+    lowering for a 128^3 volume).
+    """
+
+    @jax.jit
+    def step(istate: InverseState, state0, base_ctx, seeds, target):
         loss, grads = jax.value_and_grad(spectral_render_loss)(
             istate.params, state0, base_ctx, seeds, target, steps, n_bins
         )
@@ -127,7 +133,7 @@ def fit_spectral(
     params = {k: jnp.asarray(v) for k, v in init_params.items()}
     optimizer = optax.adam(learning_rate)
     istate = InverseState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    step = make_spectral_inverse_step(optimizer, state0, base_ctx, steps, n_bins)
+    step = make_spectral_inverse_step(optimizer, steps, n_bins)
 
     target = jnp.asarray(target_image)
     losses = []
@@ -137,7 +143,7 @@ def fit_spectral(
              for k in range(dispatches_per_step)],
             jnp.uint32,
         )
-        istate, loss = step(istate, seeds, target)
+        istate, loss = step(istate, state0, base_ctx, seeds, target)
         losses.append(float(loss))
         if progress is not None and (i % 10 == 0 or i == iterations - 1):
             progress(i, losses[-1])
