@@ -176,7 +176,7 @@ def _surrogate(prob, taken):
 
 
 def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
-                 n_bins, volume_filter, diff: bool):
+                 n_bins, volume_filter, diff: bool, sample_volume_fn=None):
     """One Woodcock iteration over all lanes (wgsl loop body :123-164).
 
     ``score``: per-lane REINFORCE weight (None when not differentiating) —
@@ -192,8 +192,11 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     pz = p.pz + dist * p.dz
 
     # material lookup: volume density -> 2D TF at (wavelength_t, density)
+    # (sample_volume_fn overrides the sampler, e.g. the slab-sharded
+    # distributed gather in parallel/slab.py)
     t = (p.wavelength - 400.0) / 300.0
-    dens = interp.sample_volume(ctx.density, px, py, pz, volume_filter)
+    sample_volume = sample_volume_fn or interp.sample_volume
+    dens = sample_volume(ctx.density, px, py, pz, volume_filter)
     mat = interp.sample_tex2d(ctx.material_tf, t, dens)
     albedo = mat[..., 0]
     alpha = mat[..., 1]
