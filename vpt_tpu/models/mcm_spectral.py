@@ -176,12 +176,17 @@ def _surrogate(prob, taken):
 
 
 def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
-                 n_bins, volume_filter, diff: bool, sample_volume_fn=None):
+                 n_bins, volume_filter, diff: bool, sample_volume_fn=None,
+                 collect: bool = False):
     """One Woodcock iteration over all lanes (wgsl loop body :123-164).
 
     ``score``: per-lane REINFORCE weight (None when not differentiating) —
     the running product of P_event/stop_grad(P_event) since the lane's last
     respawn. Forward values are bit-identical with and without it.
+
+    ``collect``: additionally return the step's internals (the quantities
+    the hand-derived path-replay backward needs, kernels/spectral_backward);
+    the single source of truth for forward and replay is this function.
     """
     all_mask = jnp.ones(p.px.shape, bool)
 
@@ -257,15 +262,25 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     lam = jnp.where(respawn, new["wavelength"], p.wavelength)
     bin_ = jnp.where(respawn, new["bin"], p.bin)
 
-    return (
-        SpectralState(
-            px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
-            bounces=bounces, samples=samples, bin=bin_, wavelength=lam,
-            radiance=radiance, transmittance=transmittance,
-        ),
-        rng,
-        score,
+    out_state = SpectralState(
+        px=px, py=py, pz=pz, dx=dx, dy=dy, dz=dz,
+        bounces=bounces, samples=samples, bin=bin_, wavelength=lam,
+        radiance=radiance, transmittance=transmittance,
     )
+    if collect:
+        internals = dict(
+            dist=dist,
+            sample_pos=(p.px + dist * p.dx, p.py + dist * p.dy, p.pz + dist * p.dz),
+            pre_dir=(p.dx, p.dy, p.dz),
+            pre_wavelength=p.wavelength,
+            pre_bin=p.bin,
+            dens=dens, albedo=albedo, alpha=alpha, g=g,
+            null=null, scatter=scatter, absorb=absorb, oob=oob,
+            respawn=respawn, emitted=emitted, samples_after=samples,
+            hg_cos=hx * p.dx + hy * p.dy + hz * p.dz,
+        )
+        return out_state, rng, score, internals
+    return out_state, rng, score
 
 
 def radiance_to_rgb(radiance, bin_xyz):
