@@ -13,6 +13,7 @@ index/weight computations.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -234,7 +235,15 @@ def pack_tex1d_corners(tex):
 
 def sample_tex1d(tex, u):
     """Linear sample of a (N,) texture (or an (N+1, 2) packed pair table
-    from pack_tex1d_corners) at normalized u."""
+    from pack_tex1d_corners) at normalized u.
+
+    The packed path routes the row selection through the MXU as a one-hot
+    matmul instead of a gather: XLA's TPU gather costs ~6ns/index regardless
+    of table size, while a (lanes, N+1) one-hot times (N+1, 2) matmul at
+    precision=HIGHEST is ~2.4x faster AND bit-exact (the bf16x3/x6
+    decomposition reconstructs each f32 table value exactly when the other
+    factor is 1.0; zeros contribute exactly 0). Measured: tools/gather_bench*.
+    """
     if tex.ndim == 2:
         Np1, _ = tex.shape
         N = Np1 - 1
@@ -242,7 +251,15 @@ def sample_tex1d(tex, u):
         i0 = jnp.floor(s)
         frac = s - i0
         b = jnp.clip(i0.astype(jnp.int32) + 1, 0, N)
-        rows = jnp.take(tex, b, axis=0)
+        flatb = b.reshape(-1)
+        onehot = (
+            flatb[:, None] == jnp.arange(Np1, dtype=jnp.int32)[None]
+        ).astype(tex.dtype)
+        rows = jnp.dot(
+            onehot, tex,
+            preferred_element_type=tex.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(b.shape + (2,))
         return rows[..., 0] + (rows[..., 1] - rows[..., 0]) * frac
     (N,) = tex.shape
     x0, x1, fx = _coords(u, N)
