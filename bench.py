@@ -38,6 +38,7 @@ def main_grad():
     volume_size = int(os.environ.get("BENCH_VOLUME", "128"))
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    streams = int(os.environ.get("BENCH_STREAMS", "4"))
 
     renderer = M.MCMSpectralRenderer(
         Volume.sphere_in_cube(volume_size),
@@ -47,18 +48,27 @@ def main_grad():
         MCMSpectralConfig(extinction=40.0, steps=steps),
         resolution=resolution,
         pack_tables=False,
+        streams=streams,
     )
     camera = Camera()
     ctx = renderer.ctx(camera, 1)
     state0 = renderer.reset(camera, 1)
     target = jnp.zeros((resolution, resolution, 3), jnp.float32)
-    params = {"density": ctx.density}
+    # learn the RAW density grid; it is corner-packed differentiably inside
+    # the loss (one row gather fwd / one row scatter bwd per sample instead
+    # of 8 scalar ones — see ops/interp.pack_volume_corners_jnp)
+    raw_density = jnp.asarray(Volume.sphere_in_cube(volume_size).density)
+    params = {"density": raw_density}
 
     # single-dispatch reverse program; everything (ctx/state/target) passed
     # as arguments — closure constants make remote lowering pathologically
     # slow (426s vs 13s measured)
     def loss_fn(p, ctx_in, s0, tgt, seed_bits):
-        c = ctx_in._replace(density=p["density"], seed_bits=seed_bits)
+        from vpt_tpu.ops.interp import pack_volume_corners_jnp
+
+        c = ctx_in._replace(
+            density=pack_volume_corners_jnp(p["density"]), seed_bits=seed_bits
+        )
         score = jnp.ones_like(s0.px)
         _, _, img = M.render_diff(s0, score, c, steps, 12)
         return jnp.mean((img - tgt) ** 2)

@@ -65,6 +65,41 @@ def pack_volume_corners(density):
     return np.ascontiguousarray(corners, dtype=d.dtype)
 
 
+def pack_volume_corners_jnp(density):
+    """Differentiable (jnp) pack_volume_corners — same values bit-for-bit.
+
+    Packing inside a differentiated function makes the gradient path cheap:
+    the forward costs ONE row gather per sample (vs 8 scalar gathers from the
+    raw grid), the backward ONE row scatter-add into the packed table, and
+    autodiff of this function then contracts the packed-table adjoint back to
+    the raw grid with dense shifted adds (the pack transpose). XLA's TPU
+    gather/scatter cost ~6ns per *index* regardless of row width, so this is
+    ~8x fewer gather/scatter ops on the differentiable render path.
+    """
+    p = jnp.pad(density, 1, mode="edge")
+    return jnp.stack(
+        [
+            p[:-1, :-1, :-1], p[:-1, :-1, 1:],
+            p[:-1, 1:, :-1], p[:-1, 1:, 1:],
+            p[1:, :-1, :-1], p[1:, :-1, 1:],
+            p[1:, 1:, :-1], p[1:, 1:, 1:],
+        ],
+        axis=-1,
+    )
+
+
+def pack_tex2d_corners_jnp(tex):
+    """Differentiable pack_tex2d_corners (same values)."""
+    p = jnp.pad(tex, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    return jnp.concatenate([p[:-1, :-1], p[:-1, 1:], p[1:, :-1], p[1:, 1:]], axis=-1)
+
+
+def pack_tex1d_corners_jnp(tex):
+    """Differentiable pack_tex1d_corners (same values)."""
+    p = jnp.pad(tex, 1, mode="edge")
+    return jnp.stack([p[:-1], p[1:]], axis=-1)
+
+
 def _sample_volume_packed(packed, u, v, w, mode):
     """Single-gather trilinear/quasi-cubic sampling of a packed corner table
     ((D+1, H+1, W+1, 8) from pack_volume_corners)."""
