@@ -47,7 +47,10 @@ def main_grad():
         SpectrumConfig(),
         MCMSpectralConfig(extinction=40.0, steps=steps),
         resolution=resolution,
-        pack_tables=False,
+        # packed non-learned tables (TF/light): raw tables cost 4/2 gathers
+        # per lookup instead of 1; the learned density is packed inside the
+        # loss (pack_volume_corners_jnp)
+        pack_tables=True,
         streams=streams,
     )
     camera = Camera()
