@@ -437,7 +437,7 @@ class MCMSpectralRenderer:
         spectrum: SpectrumConfig | None = None,
         config: MCMSpectralConfig | None = None,
         resolution: int = 512,
-        pack_tables: bool = True,
+        pack_tables: bool | set = True,
         streams: int = 1,
     ):
         from vpt_tpu.ops.spectral import bin_coefficients
@@ -462,14 +462,24 @@ class MCMSpectralRenderer:
         # Renderer configs are immutable; changing resources = new renderer.
         # pack_tables precomputes single-gather corner tables (8x/4x memory
         # for ~3x dispatch speed); disable to keep the raw parameterization
-        # (e.g. when differentiating w.r.t. the tables).
+        # (e.g. when differentiating w.r.t. the tables). It accepts a bool
+        # or a subset of {"density", "material_tf", "light_spectrum"} —
+        # e.g. huge volumes whose 8x packed table would not fit HBM can keep
+        # the raw grid while the TF/light still pack.
         density = self.volume.density
         mtf = self.material_tf.table
         light_spectrum = self.light.spectrum_array()
-        if pack_tables and self.volume.filter in ("linear", "quasicubic"):
-            density = interp.pack_volume_corners(density)
-            mtf = interp.pack_tex2d_corners(mtf)
-            light_spectrum = interp.pack_tex1d_corners(light_spectrum)
+        if pack_tables is True:
+            pack_tables = {"density", "material_tf", "light_spectrum"}
+        elif pack_tables is False:
+            pack_tables = set()
+        if self.volume.filter in ("linear", "quasicubic"):
+            if "density" in pack_tables:
+                density = interp.pack_volume_corners(density)
+            if "material_tf" in pack_tables:
+                mtf = interp.pack_tex2d_corners(mtf)
+            if "light_spectrum" in pack_tables:
+                light_spectrum = interp.pack_tex1d_corners(light_spectrum)
         cfg = self.config
         self._static_ctx = dict(
             extinction=jnp.float32(cfg.extinction),
