@@ -95,3 +95,19 @@ def test_streams_converge_to_same_image():
     # 4x the samples -> same expected image within MC noise
     assert np.abs(i1.mean() - i4.mean()) < 0.15
     assert np.corrcoef(i1.ravel(), i4.ravel())[0, 1] > 0.8
+
+
+def test_fused_tex2d_tex1d_bit_exact():
+    """The fused TF+light table must reproduce both lookups bit-exactly."""
+    rng = np.random.default_rng(3)
+    tex2 = rng.uniform(size=(16, 32, 4)).astype(np.float32)
+    tex1 = rng.uniform(size=(32,)).astype(np.float32)
+    fused = interp.pack_tex2d_with_tex1d(tex2, tex1)
+    assert fused.shape == (17, 33, 18)
+    uv = rng.uniform(-0.2, 1.2, size=(300, 2)).astype(np.float32)
+    mat, aux = interp.sample_tex2d_fused1d(
+        jnp.asarray(fused), uv[:, 0], uv[:, 1])
+    a2 = np.asarray(interp.sample_tex2d(jnp.asarray(tex2), uv[:, 0], uv[:, 1]))
+    a1 = np.asarray(interp.sample_tex1d(jnp.asarray(tex1), uv[:, 0]))
+    np.testing.assert_array_equal(np.asarray(mat), a2)
+    np.testing.assert_array_equal(np.asarray(aux), a1)

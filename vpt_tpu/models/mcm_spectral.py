@@ -133,10 +133,15 @@ def _respawn(state_rng, mask, sx, sy, ctx: SpectralCtx, n_bins):
     )
 
 
-def _sample_light(ctx: SpectralCtx, dx, dy, dz, lam):
-    """sample_light (wgsl:62-73): 1D light spectrum x5, optional cosine lobe."""
-    t = (lam - 400.0) / 300.0
-    intensity = interp.sample_tex1d(ctx.light_spectrum, t) * 5.0
+def _sample_light(ctx: SpectralCtx, dx, dy, dz, lam, raw=None):
+    """sample_light (wgsl:62-73): 1D light spectrum x5, optional cosine lobe.
+
+    ``raw``: pre-fetched spectrum value (from the fused TF+light gather);
+    falls back to a standalone lookup when not provided."""
+    if raw is None:
+        t = (lam - 400.0) / 300.0
+        raw = interp.sample_tex1d(ctx.light_spectrum, t)
+    intensity = raw * 5.0
     ld = ctx.light_direction
     norm = jnp.sqrt(jnp.sum(ld * ld))
     ldn = ld / jnp.maximum(norm, 1e-30)
@@ -202,7 +207,13 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     t = (p.wavelength - 400.0) / 300.0
     sample_volume = sample_volume_fn or interp.sample_volume
     dens = sample_volume(ctx.density, px, py, pz, volume_filter)
-    mat = interp.sample_tex2d(ctx.material_tf, t, dens)
+    # fused TF+light table ((257,257,18), pack_tex2d_with_tex1d): the light
+    # spectrum shares the TF's x coordinate, so one gather returns both
+    light_raw = None
+    if ctx.material_tf.shape[-1] == 18:
+        mat, light_raw = interp.sample_tex2d_fused1d(ctx.material_tf, t, dens)
+    else:
+        mat = interp.sample_tex2d(ctx.material_tf, t, dens)
     albedo = mat[..., 0]
     alpha = mat[..., 1]
     g = mat[..., 2] * 2.0 - 1.0
@@ -222,7 +233,9 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     respawn = oob | absorb
 
     # -- radiance deposit (incremental one-hot mean over all bins) ---------
-    emitted = jnp.where(oob, _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength), 0.0)
+    emitted = jnp.where(
+        oob, _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength, raw=light_raw), 0.0
+    )
     if diff:
         # terminal deposit carries the path's accumulated score weight
         # (absorb deposits 0, so only escape paths contribute gradient)
@@ -476,9 +489,16 @@ class MCMSpectralRenderer:
         if self.volume.filter in ("linear", "quasicubic"):
             if "density" in pack_tables:
                 density = interp.pack_volume_corners(density)
-            if "material_tf" in pack_tables:
+            if "material_tf" in pack_tables and "light_spectrum" in pack_tables:
+                # fused (257,257,18) table: the light's packed pair rides the
+                # TF gather (shared x coordinate) — the per-step light lookup
+                # disappears entirely. ctx.light_spectrum keeps the packed 1D
+                # table for any standalone use.
+                mtf = interp.pack_tex2d_with_tex1d(mtf, light_spectrum)
+                light_spectrum = interp.pack_tex1d_corners(light_spectrum)
+            elif "material_tf" in pack_tables:
                 mtf = interp.pack_tex2d_corners(mtf)
-            if "light_spectrum" in pack_tables:
+            elif "light_spectrum" in pack_tables:
                 light_spectrum = interp.pack_tex1d_corners(light_spectrum)
         cfg = self.config
         self._static_ctx = dict(

@@ -259,6 +259,66 @@ def sample_tex2d(tex, u, v):
     return c0 + (c1 - c0) * fy
 
 
+def pack_tex2d_with_tex1d(tex2d, tex1d):
+    """Fuse a (W,) 1D table that shares the 2D texture's x coordinate into
+    the packed corner rows: output (H+1, W+1, 4*C + 2).
+
+    Rationale: TPU gathers cost per *op*, not per element, so a lookup pair
+    that shares its index can ride one gather for free. The spectral MCM
+    kernel samples the material TF at (wavelength_t, density) and the light
+    spectrum at wavelength_t with the SAME normalized x coordinate and the
+    same 256-texel width (reference MCMSpectralComputeRenderer.wgsl:62-80),
+    so the light's packed linear pair is appended to every TF row of its
+    column — the TF gather then also returns the light pair and the separate
+    light lookup disappears entirely.
+    """
+    import numpy as np
+
+    t2 = pack_tex2d_corners(tex2d)  # (H+1, W+1, 4C)
+    t1 = pack_tex1d_corners(tex1d)  # (W+1, 2)
+    Hp, Wp, _ = t2.shape
+    if t1.shape[0] != Wp:
+        raise ValueError(
+            f"1D table length {t1.shape[0] - 1} != 2D texture width {Wp - 1}"
+        )
+    aux = np.broadcast_to(t1[None], (Hp, Wp, 2))
+    return np.ascontiguousarray(np.concatenate([t2, aux], axis=-1), t2.dtype)
+
+
+def sample_tex2d_fused1d(packed, u, v, C: int = 4):
+    """Sample a pack_tex2d_with_tex1d table at normalized (u, v).
+
+    Returns (mat (..., C), aux scalar) where ``mat`` is bit-identical to
+    sample_tex2d of the packed 2D table and ``aux`` is bit-identical to
+    sample_tex1d of the packed 1D table at ``u`` — one gather for both.
+    """
+    Hp, Wp, CC = packed.shape
+    assert CC == 4 * C + 2
+    H, W = Hp - 1, Wp - 1
+
+    def base_and_frac(t, n):
+        s = t * n - 0.5
+        i0 = jnp.floor(s)
+        return jnp.clip(i0.astype(jnp.int32) + 1, 0, n), s - i0
+
+    bx, fx = base_and_frac(u, W)
+    by, fy = base_and_frac(v, H)
+    rows = jnp.take(packed.reshape(-1, CC), by * Wp + bx, axis=0)
+    c00 = rows[..., 0 * C : 1 * C]
+    c01 = rows[..., 1 * C : 2 * C]
+    c10 = rows[..., 2 * C : 3 * C]
+    c11 = rows[..., 3 * C : 4 * C]
+    fxc = fx[..., None]
+    fyc = fy[..., None]
+    c0 = c00 + (c01 - c00) * fxc
+    c1 = c10 + (c11 - c10) * fxc
+    mat = c0 + (c1 - c0) * fyc
+    l0 = rows[..., 4 * C]
+    l1 = rows[..., 4 * C + 1]
+    aux = l0 + (l1 - l0) * fx
+    return mat, aux
+
+
 def pack_tex1d_corners(tex):
     """(N,) -> (N+1, 2) pair rows: one gather instead of two per sample."""
     import numpy as np
