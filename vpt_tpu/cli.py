@@ -87,6 +87,7 @@ def _make_session(args):
                               steps=args.steps),
             tonemapper=args.tonemapper, resolution=args.resolution,
             base_seed=args.seed, streams=args.streams,
+            environment=_load_envmap(args),
         )
     elif key == "mcm":
         sess = RenderSession(
@@ -253,7 +254,7 @@ def main(argv=None):
         sp.add_argument("--seed", type=int, default=0)
         sp.add_argument("--light", type=float, nargs=3, default=[1.0, 0.2, 0.5])
         sp.add_argument("--material", help=".npy uint8 (256,256,4) material TF")
-        sp.add_argument("--envmap", help="equirect environment image (PNG/NPY) for mcm/mcs")
+        sp.add_argument("--envmap", help="equirect environment image (PNG/NPY) for mcm/mcs/mcm-spectral")
         sp.add_argument("--streams", type=int, default=1,
                         help="parallel sample streams per pixel (mcm-spectral)")
         sp.add_argument("--orbit", type=float, nargs=3,

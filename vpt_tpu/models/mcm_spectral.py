@@ -70,6 +70,12 @@ class SpectralCtx(NamedTuple):
     light_spectrum: jax.Array  # (256,) f32
     boundaries: jax.Array  # (B+1,) f32 bin boundaries
     bin_xyz: jax.Array  # (3, B) f32 per-bin CIE coefficients
+    # optional equirect environment map (He, We, 3); None = directional/
+    # isotropic light (the reference's active escape path). When set, escape
+    # radiance comes from the env map instead — the reference has this path
+    # written but commented out (MCMSpectralComputeRenderer.wgsl:49-60,
+    # :143-146); here it is a first-class opt-in mode.
+    environment: jax.Array | None = None
 
 
 def _pixel_grid(resolution, streams: int = 1):
@@ -130,6 +136,23 @@ def _respawn(state_rng, mask, sx, sy, ctx: SpectralCtx, n_bins):
     return state_rng, dict(
         px=npx, py=npy, pz=npz, dx=ndx, dy=ndy, dz=ndz,
         bounces=jnp.zeros_like(nbin), wavelength=lam, bin=nbin,
+    )
+
+
+def _sample_environment(ctx: SpectralCtx, dx, dy, dz, lam):
+    """sample_environment_map (wgsl:49-60): equirect lookup x gain 2.7 with
+    3-band wavelength -> RGB-channel selection (lambda<500 -> B, <600 -> G,
+    else R). Keeps the reference's equirect mapping quirk (its own
+    "TODO: Why shouldn't y be negated" comment). The dormant reference call
+    also multiplied by transmittance[bin], which the spectral kernel keeps
+    constant at 1.0 — identity, so it is omitted here too."""
+    inv_pi = jnp.float32(1.0 / np.pi)
+    u = jnp.arctan2(dx, -dz) * inv_pi * 0.5 + 0.5
+    v = jnp.arcsin(-dy) * 2.0 * inv_pi * 0.5 + 0.5
+    color = interp.sample_tex2d(ctx.environment, u, v) * 2.7
+    return jnp.where(
+        lam < 500.0, color[..., 2],
+        jnp.where(lam < 600.0, color[..., 1], color[..., 0]),
     )
 
 
@@ -233,9 +256,11 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     respawn = oob | absorb
 
     # -- radiance deposit (incremental one-hot mean over all bins) ---------
-    emitted = jnp.where(
-        oob, _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength, raw=light_raw), 0.0
-    )
+    if ctx.environment is not None:
+        escape = _sample_environment(ctx, p.dx, p.dy, p.dz, p.wavelength)
+    else:
+        escape = _sample_light(ctx, p.dx, p.dy, p.dz, p.wavelength, raw=light_raw)
+    emitted = jnp.where(oob, escape, 0.0)
     if diff:
         # terminal deposit carries the path's accumulated score weight
         # (absorb deposits 0, so only escape paths contribute gradient)
@@ -452,6 +477,7 @@ class MCMSpectralRenderer:
         resolution: int = 512,
         pack_tables: bool | set = True,
         streams: int = 1,
+        environment=None,
     ):
         from vpt_tpu.ops.spectral import bin_coefficients
 
@@ -500,8 +526,15 @@ class MCMSpectralRenderer:
                 mtf = interp.pack_tex2d_corners(mtf)
             elif "light_spectrum" in pack_tables:
                 light_spectrum = interp.pack_tex1d_corners(light_spectrum)
+        env = None
+        if environment is not None:
+            env = np.asarray(environment, np.float32)
+            if "material_tf" in pack_tables:  # same packing policy as the TF
+                env = interp.pack_tex2d_corners(env)
+            env = jnp.asarray(env)
         cfg = self.config
         self._static_ctx = dict(
+            environment=env,
             extinction=jnp.float32(cfg.extinction),
             blur=jnp.float32(cfg.blur),
             max_bounces=jnp.int32(cfg.bounces),
