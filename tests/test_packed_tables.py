@@ -111,3 +111,40 @@ def test_fused_tex2d_tex1d_bit_exact():
     a1 = np.asarray(interp.sample_tex1d(jnp.asarray(tex1), uv[:, 0]))
     np.testing.assert_array_equal(np.asarray(mat), a2)
     np.testing.assert_array_equal(np.asarray(aux), a1)
+
+
+def test_packed_volume_xy_bit_exact():
+    """4x half packing (2 gathers/step big-volume mode) == raw 8-gather."""
+    rng = np.random.default_rng(5)
+    vol = rng.uniform(size=(7, 9, 11)).astype(np.float32)
+    packed = interp.pack_volume_corners_xy(vol)
+    assert packed.shape == (7, 10, 12, 4)
+    pts = rng.uniform(-0.3, 1.3, size=(500, 3)).astype(np.float32)
+    for mode in ("linear", "quasicubic"):
+        a = np.asarray(interp.sample_volume(
+            jnp.asarray(vol), pts[:, 0], pts[:, 1], pts[:, 2], mode))
+        b = np.asarray(interp.sample_volume(
+            jnp.asarray(packed), pts[:, 0], pts[:, 1], pts[:, 2], mode))
+        np.testing.assert_array_equal(a, b)
+
+
+def test_xy_packed_renderer_matches_unpacked():
+    from vpt_tpu.models.mcm_spectral import MCMSpectralRenderer
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (LightConfig, MaterialTF,
+                                      MCMSpectralConfig, SpectrumConfig)
+
+    vol = Volume.sphere_in_cube(16)
+    args = (MaterialTF.constant(0.8, 0.6, 0.3), LightConfig(),
+            SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=6))
+    cam = Camera()
+    rp = MCMSpectralRenderer(vol, *args, resolution=16,
+                             pack_tables={"density_xy", "material_tf",
+                                          "light_spectrum"})
+    ru = MCMSpectralRenderer(vol, *args, resolution=16, pack_tables=False)
+    sp, su = rp.reset(cam, 3), ru.reset(cam, 3)
+    for f in range(3):
+        sp, ip = rp.render(sp, cam, f + 1)
+        su, iu = ru.render(su, cam, f + 1)
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(iu))

@@ -59,6 +59,8 @@ def config2():
 
 def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
               pack_volume=True):
+    # pack_volume: True = full 8x corner table; "xy" = 4x half packing
+    # (2 gathers/step — the big-volume mode); False = raw grid (8 gathers)
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +84,8 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
         resolution=resolution, streams=streams,
         pack_tables=(
             {"material_tf", "light_spectrum"}
-            if (grads or not pack_volume)
+            | ({"density_xy"} if pack_volume == "xy" else set())
+            if (grads or pack_volume is not True)
             else True
         ),
     )
@@ -163,9 +166,9 @@ def config3():
 
 def config5():
     # the 8x packed corner table of a 512^3 volume (4.3 GB) exceeds what the
-    # remote compile path handles; the raw grid (512 MB) with 8-gather
-    # trilinear is the memory-lean mode big volumes use
-    fwd = _spectral(512, 1024, spp=256, streams=1, pack_volume=False)
+    # remote compile path handles; the xy half packing (2.1 GB, 2 gathers
+    # per step) is the big-volume mode
+    fwd = _spectral(512, 1024, spp=256, streams=1, pack_volume="xy")
     return dict(config=5,
                 desc="512^3 spectral MCM 1024^2 @ 256spp (single-chip slice)",
                 **fwd)

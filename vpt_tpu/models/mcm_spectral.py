@@ -515,6 +515,10 @@ class MCMSpectralRenderer:
         if self.volume.filter in ("linear", "quasicubic"):
             if "density" in pack_tables:
                 density = interp.pack_volume_corners(density)
+            elif "density_xy" in pack_tables:
+                # 4x-memory half packing: 2 gathers/step instead of 8 —
+                # the mode for volumes whose 8x table exceeds HBM
+                density = interp.pack_volume_corners_xy(density)
             if "material_tf" in pack_tables and "light_spectrum" in pack_tables:
                 # fused (257,257,18) table: the light's packed pair rides the
                 # TF gather (shared x coordinate) — the per-step light lookup
