@@ -1,0 +1,71 @@
+"""CLI smoke tests — the application layer (reference Application.js +
+dialogs analog). Runs in-process on the forced-CPU test backend."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from vpt_tpu.cli import main
+
+
+def _run(capsys, argv):
+    main(argv)
+    return capsys.readouterr()
+
+
+def test_renderers_and_tonemappers_lists(capsys):
+    out = _run(capsys, ["renderers"]).out
+    for key in ("mcm-spectral", "mcm", "mcs", "eam", "mip", "iso", "depth",
+                "dos", "lao"):
+        assert key in out
+    out = _run(capsys, ["tonemappers"]).out
+    for key in ("artistic", "reinhard", "aces", "uchimura", "lottes"):
+        assert key in out
+
+
+def test_render_to_png_and_checkpoint(tmp_path, capsys):
+    png = str(tmp_path / "out.png")
+    ck = str(tmp_path / "state.npz")
+    res = _run(capsys, [
+        "render", "--volume", "sphere_in_cube", "--volume-size", "16",
+        "--resolution", "16", "--frames", "2", "--steps", "4",
+        "--output", png, "--checkpoint", ck,
+    ])
+    assert os.path.exists(png) and os.path.exists(ck)
+    metrics = json.loads(res.out.strip().splitlines()[-1])
+    assert metrics["frames"] == 2
+
+
+def test_render_each_renderer(tmp_path, capsys):
+    for key in ("eam", "mip", "mcm"):
+        png = str(tmp_path / f"{key}.png")
+        _run(capsys, [
+            "render", "--renderer", key, "--volume-size", "16",
+            "--resolution", "16", "--frames", "2", "--steps", "4",
+            "--output", png,
+        ])
+        assert os.path.exists(png)
+
+
+def test_render_spectral_with_envmap(tmp_path, capsys):
+    env = str(tmp_path / "env.npy")
+    np.save(env, np.ones((4, 8, 3), np.float32))
+    png = str(tmp_path / "env_render.png")
+    _run(capsys, [
+        "render", "--volume-size", "16", "--resolution", "16",
+        "--frames", "2", "--steps", "4", "--envmap", env, "--output", png,
+    ])
+    assert os.path.exists(png)
+
+
+def test_animate(tmp_path, capsys):
+    outdir = str(tmp_path / "anim")
+    _run(capsys, [
+        "animate", "--volume-size", "16", "--resolution", "16",
+        "--frames", "1", "--steps", "4", "--n-frames", "2",
+        "--output", outdir,
+    ])
+    files = sorted(os.listdir(outdir))
+    assert len(files) == 2

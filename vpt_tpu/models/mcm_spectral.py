@@ -274,7 +274,13 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     radiance = jnp.where(
         respawn[None], p.radiance + (target - p.radiance) / denom, p.radiance
     )
-    transmittance = jnp.where(respawn[None], 1.0, p.transmittance)
+    # the reference's PhotonSpectral carries transmittance[12] but nothing
+    # ever writes a value != 1.0 (reset sets 1.0, no event mutates it, and
+    # the escape deposit deliberately skips it — wgsl:146 comment); the
+    # respawn re-write is therefore value-identical to a pass-through, and
+    # passing it through lets XLA alias the (B,S,H,W) array instead of
+    # re-materializing ~100 MB/step of provably-constant state
+    transmittance = p.transmittance
 
     # -- respawn (masked draws: disk2 + square2 + lambda1) -----------------
     rng, new = _respawn(rng, respawn, sx, sy, ctx, n_bins)
