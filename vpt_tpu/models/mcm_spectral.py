@@ -220,6 +220,20 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
 
     # free flight
     rng, dist = sampling.draw_exponential(rng, all_mask, ctx.extinction)
+    if diff:
+        # Score-form free flight: the sampled distance feeds the
+        # *discontinuous* OOB test, so the reparameterized (pathwise)
+        # d(dist)/d(extinction) channel is biased — it misses the boundary
+        # term entirely (finite differences expose this: a homogeneous
+        # medium has zero pathwise extinction gradient but a real one).
+        # Detach the distance and carry d log p(dist; extinction)
+        # = 1/extinction - dist on the score instead — the same
+        # decomposition the hand-derived backward uses
+        # (kernels/spectral_backward.py), unbiased through the event wheel
+        # AND the escape boundary. Forward values are unchanged.
+        logp = jnp.log(ctx.extinction) - ctx.extinction * jax.lax.stop_gradient(dist)
+        score = score * jnp.exp(logp - jax.lax.stop_gradient(logp))
+        dist = jax.lax.stop_gradient(dist)
     px = p.px + dist * p.dx
     py = p.py + dist * p.dy
     pz = p.pz + dist * p.dz
