@@ -274,10 +274,358 @@ def spectral_backward(state0, ctx, g_image, steps: int, n_bins: int,
     return state_out, image, grads
 
 
-@functools.partial(jax.jit, static_argnames=("steps", "n_bins", "volume_filter"))
+# ==========================================================================
+# Packed-adjoint backward (the fast path)
+# ==========================================================================
+#
+# The raw backward above replays the dispatch and scatters every gradient
+# into the *raw* tables: 12 TF-corner x channel indices + 8 volume corners +
+# 2 light texels per lane per step, plus 12 slope gathers — and TPU
+# gathers/scatters cost per INDEX (~6 ns gather / ~22-95 ns scatter-add,
+# tools/gather_bench*.py, tools/scatter_bench.py). The packed variant
+# applies the forward path's corner-packing playbook to the adjoint:
+# gradients scatter as ONE contiguous row per table per lane (an 18-wide
+# TF+light row, an 8-wide trilinear row) into adjoints shaped like the
+# packed tables, which are then contracted back to the raw parameterization
+# with the dense transpose of the packers (jax.vjp of
+# ops/interp.pack_*_jnp — pad/stack transposes, no scatters). The analytic
+# scatters fold into the cotangent reverse scan over a compact tape, so a
+# full fwd+bwd dispatch is one taped forward + one reverse scan — ~4 index
+# ops per lane-step vs the raw path's ~36.
+
+ALL_WRT = frozenset({"density", "material_tf", "light_spectrum", "extinction"})
+
+
+def _packed_base_frac(t, n):
+    """Packed-table addressing (mirrors interp._sample_volume_packed):
+    +1 into the padded table, clamp to [0, n], frac in [0, 1)."""
+    s = t * n - 0.5
+    i0 = jnp.floor(s)
+    return jnp.clip(i0.astype(jnp.int32) + 1, 0, n), s - i0
+
+
+def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
+                             volume_filter: str = "linear",
+                             wrt: frozenset = ALL_WRT,
+                             scatter_stride: int = 1,
+                             scatter_phase=None):
+    """Hand-derived gradients of one render dispatch — packed tables.
+
+    Requires the standard fast-path ctx: fused (H+1, W+1, 18) material TF
+    (pack_tex2d_with_tex1d) and a packed volume (full 8-wide corner table
+    or the xy half-packed 4-wide big-volume table). Returns
+    (state_out, image, grads) with grads addressing the RAW tables —
+    mathematically identical to ``spectral_backward`` on the unpacked ctx.
+
+    ``wrt``: which parameters to differentiate. Scatter cost dominates the
+    backward (tools/scatter_bench.py), so skipping unneeded tables is a
+    direct speedup — e.g. inverse rendering of density only skips the TF
+    row scatter entirely.
+
+    ``scatter_stride``: k > 1 enables stochastic gradient thinning — only
+    every k-th step's TABLE contributions are scattered, weighted by k
+    (an unbiased estimator of the same gradient with ~k x the table-grad
+    variance; the phase rotates with the frame seed so strides cover all
+    steps across dispatches). The forward image, the extinction gradient,
+    and the cotangent propagation stay exact. Scatter indices are the
+    backward's wall (per-INDEX cost, measured), so the backward speeds up
+    near-proportionally.
+    """
+    assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
+    assert ctx.density.ndim == 4, "packed backward needs a packed volume"
+    assert ctx.environment is None, "environment-map gradients not supported"
+    assert volume_filter == "linear", "packed backward supports linear filtering"
+
+    resolution = state0.px.shape[-1]
+    streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
+    ix, iy, seed_iy = M._pixel_grid(resolution, streams)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+    rng0 = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+
+    Hp, Wp, CC = ctx.material_tf.shape
+    TH, TW = Hp - 1, Wp - 1
+    xy_packed = ctx.density.shape[-1] == 4
+    if xy_packed:
+        VD, VHp, VWp, _ = ctx.density.shape
+        VH, VW = VHp - 1, VWp - 1
+    else:
+        VDp, VHp, VWp, _ = ctx.density.shape
+        VD, VH, VW = VDp - 1, VHp - 1, VWp - 1
+
+    ld = ctx.light_direction
+    lnorm = jnp.sqrt(jnp.sum(ld * ld))
+    ldn = ld / jnp.maximum(lnorm, 1e-30)
+
+    want_tf = "material_tf" in wrt or "light_spectrum" in wrt
+    want_vol = "density" in wrt
+    n_vol_rows = int(np.prod(ctx.density.shape[:-1]))
+    vwidth = 4 if xy_packed else 8
+
+    # ---- pass 1: forward, taping everything the reverse scatters need ----
+    def fwd_body(carry, _):
+        p, rng = carry
+        p2, rng2, _, it = M._render_body(
+            p, rng, None, sx, sy, ctx, n_bins, volume_filter,
+            diff=False, collect=True,
+        )
+        ex = it["tf_extras"]
+        rows, fx, fy = ex["rows"], ex["fx"], ex["fy"]
+        tape = dict(
+            emitted=it["emitted"], respawn=it["respawn"], pre_bin=it["pre_bin"],
+            alpha=it["alpha"], albedo=it["albedo"], g=it["g"],
+            hg_cos=it["hg_cos"],
+            null=it["null"], scatter=it["scatter"],
+            fx=fx,
+        )
+        if "extinction" in wrt:
+            tape["dist"] = it["dist"]
+        if want_tf:
+            tape["tf_row"] = ex["row_idx"]
+            tape["fy"] = fy
+            ddot = (it["pre_dir"][0] * ldn[0] + it["pre_dir"][1] * ldn[1]
+                    + it["pre_dir"][2] * ldn[2])
+            dI = jnp.where(lnorm < EPS, 1.0,
+                           jnp.where(it["emitted"] > 0.0, ddot, 0.0))
+            tape["light_w"] = jnp.where(it["oob"], dI * 5.0, 0.0)
+        if want_vol:
+            # per-channel TF slope d(value)/d(density coord) from the same
+            # row: (y-lerped row1 - row0) * table height; zero in the clamp
+            # zone because the pad duplicates the edge row
+            c00 = rows[..., 0:3]
+            c01 = rows[..., 4:7]
+            c10 = rows[..., 8:11]
+            c11 = rows[..., 12:15]
+            fxc = fx[..., None]
+            tape["slopes"] = (
+                (c10 + (c11 - c10) * fxc) - (c00 + (c01 - c00) * fxc)
+            ) * TH
+            u, v, w = it["sample_pos"]
+            vbx, vfx = _packed_base_frac(u, VW)
+            vby, vfy = _packed_base_frac(v, VH)
+            if xy_packed:
+                s = w * VD - 0.5
+                i0 = jnp.floor(s)
+                vfz = s - i0
+                z0 = jnp.clip(i0.astype(jnp.int32), 0, VD - 1)
+                z1 = jnp.clip(i0.astype(jnp.int32) + 1, 0, VD - 1)
+                plane = vby * VWp + vbx
+                tape["vol_row0"] = z0 * (VHp * VWp) + plane
+                tape["vol_row1"] = z1 * (VHp * VWp) + plane
+            else:
+                vbz, vfz = _packed_base_frac(w, VD)
+                tape["vol_row0"] = (vbz * VHp + vby) * VWp + vbx
+            tape["vfx"], tape["vfy"], tape["vfz"] = vfx, vfy, vfz
+        return (p2, rng2), tape
+
+    (state_out, _), tape = jax.lax.scan(fwd_body, (state0, rng0), None,
+                                        length=steps)
+
+    # ---- image cotangent -> per-deposit cotangent (as the raw path) ------
+    cm = jnp.asarray(XYZ_TO_SRGB_KERNEL) @ ctx.bin_xyz  # (3, B)
+    g_rad = jnp.einsum("hwc,cb->bhw", g_image, cm)
+    if streams > 1:
+        g_rad = jnp.broadcast_to(
+            g_rad[:, None] / streams, (n_bins, streams, resolution, resolution)
+        )
+    m_final = jnp.maximum(state_out.samples, 1).astype(jnp.float32)
+    g_rad_scaled = g_rad / m_final[None]
+
+    def deposit_cotangent(pre_bin):
+        # B is tiny (12): a B-way masked sum on the VPU beats a per-lane
+        # gather (take_along_axis lowers to a 1M-index gather per step)
+        sel = jnp.zeros(pre_bin.shape, jnp.float32)
+        for b in range(n_bins):
+            sel = sel + jnp.where(pre_bin == b, g_rad_scaled[b], 0.0)
+        return sel
+
+    # ---- reverse scan: cotangent propagation + per-step row scatters -----
+    # Scatters stay INSIDE the scan, one per table per step: a single
+    # batched scatter over all steps x lanes was measured ~25% SLOWER
+    # (XLA:TPU scatter-add is sort-based, superlinear in update count), and
+    # scatter cost is per-INDEX (~22-95 ns, tools/scatter_bench.py), so the
+    # only real levers are emitting fewer indices — one packed corner ROW
+    # per table per lane-step, the ``wrt`` gating, and ``scatter_stride``.
+    def scatter_step(adj, t, c, cb, weight=1.0):
+        """Analytic per-step table scatters for one tape row, given the
+        step's (eventual contribution, deposit cotangent)."""
+        q = cb * c * weight
+        alpha, albedo, g = t["alpha"], t["albedo"], t["g"]
+        null, scat = t["null"], t["scatter"]
+        grad_alpha = (
+            jnp.where(null, -q / jnp.maximum(1.0 - alpha, 1e-12), 0.0)
+            + jnp.where(scat, q / jnp.maximum(alpha, 1e-12), 0.0)
+        )
+        grad_albedo = jnp.where(scat, q / jnp.maximum(albedo, 1e-12), 0.0)
+        aniso = jnp.abs(g) >= EPS
+        cosd = t["hg_cos"]
+        g2 = g * g
+        hg_score = (-2.0 * g / jnp.maximum(1.0 - g2, 1e-9)
+                    - 3.0 * (g - cosd)
+                    / jnp.maximum(1.0 + g2 - 2.0 * g * cosd, 1e-9))
+        grad_graw = jnp.where(scat & aniso, q * hg_score, 0.0) * 2.0
+
+        out = dict(adj)
+        fx = t["fx"]
+        if want_tf:
+            # one 18-wide row: 4 corners x (albedo, alpha, g_raw, 0) + light
+            fy = t["fy"]
+            w00 = (1 - fx) * (1 - fy)
+            w01 = fx * (1 - fy)
+            w10 = (1 - fx) * fy
+            w11 = fx * fy
+            gl = cb * weight * t["light_w"]
+            zero = jnp.zeros_like(fx)
+            v18 = jnp.stack(
+                [grad_albedo * w00, grad_alpha * w00, grad_graw * w00, zero,
+                 grad_albedo * w01, grad_alpha * w01, grad_graw * w01, zero,
+                 grad_albedo * w10, grad_alpha * w10, grad_graw * w10, zero,
+                 grad_albedo * w11, grad_alpha * w11, grad_graw * w11, zero,
+                 gl * (1 - fx), gl * fx],
+                axis=-1,
+            )
+            out["g_tf"] = adj["g_tf"].at[t["tf_row"].reshape(-1)].add(
+                v18.reshape(-1, CC))
+        if want_vol:
+            # density chain through the TF, trilinear corner-row scatter
+            grad_dens = (grad_albedo * t["slopes"][..., 0]
+                         + grad_alpha * t["slopes"][..., 1]
+                         + grad_graw * t["slopes"][..., 2])
+            vfx, vfy, vfz = t["vfx"], t["vfy"], t["vfz"]
+            w4 = jnp.stack([(1 - vfy) * (1 - vfx), (1 - vfy) * vfx,
+                            vfy * (1 - vfx), vfy * vfx], axis=-1)
+            if xy_packed:
+                g_vol = adj["g_vol"].at[t["vol_row0"].reshape(-1)].add(
+                    ((grad_dens * (1 - vfz))[..., None] * w4).reshape(-1, 4))
+                out["g_vol"] = g_vol.at[t["vol_row1"].reshape(-1)].add(
+                    ((grad_dens * vfz)[..., None] * w4).reshape(-1, 4))
+            else:
+                v8 = jnp.concatenate(
+                    [(grad_dens * (1 - vfz))[..., None] * w4,
+                     (grad_dens * vfz)[..., None] * w4], axis=-1)
+                out["g_vol"] = adj["g_vol"].at[t["vol_row0"].reshape(-1)].add(
+                    v8.reshape(-1, 8))
+        return out
+
+    def cotangent_update(carry, t):
+        """(c, cb) propagation + the (always exact) extinction score term."""
+        dep = t["respawn"]
+        c = jnp.where(dep, t["emitted"], carry["c"])
+        cb = jnp.where(dep, deposit_cotangent(t["pre_bin"]), carry["cb"])
+        out = dict(carry, c=c, cb=cb)
+        if "extinction" in wrt:
+            out["g_ext"] = carry["g_ext"] + jnp.sum(
+                c * cb * (1.0 / ctx.extinction - t["dist"]))
+        return out
+
+    zero = jnp.zeros_like(tape["emitted"][0])
+    carry0 = dict(c=zero, cb=zero)
+    if "extinction" in wrt:
+        carry0["g_ext"] = jnp.float32(0.0)
+    adj0 = {}
+    if want_tf:
+        adj0["g_tf"] = jnp.zeros((Hp * Wp, CC), jnp.float32)
+    if want_vol:
+        adj0["g_vol"] = jnp.zeros((n_vol_rows, vwidth), jnp.float32)
+
+    if scatter_stride == 1:
+        def rev_body(carry, t):
+            cot = cotangent_update(
+                {k: v for k, v in carry.items() if k not in adj0}, t)
+            adj = scatter_step({k: carry[k] for k in adj0}, t,
+                               cot["c"], cot["cb"])
+            return dict(cot, **adj), None
+
+        acc, _ = jax.lax.scan(rev_body, dict(carry0, **adj0), tape,
+                              reverse=True)
+    else:
+        # Stochastic gradient thinning: pass A propagates cotangents exactly
+        # (and the extinction term); pass B scatters only every stride-th
+        # step, weighted by stride.
+        assert steps % scatter_stride == 0, \
+            "scatter_stride must divide steps (unbiasedness)"
+
+        def cot_body(carry, t):
+            out = cotangent_update(carry, t)
+            return out, (out["c"], out["cb"])
+
+        acc, (c_all, cb_all) = jax.lax.scan(cot_body, carry0, tape,
+                                            reverse=True)
+        count = steps // scatter_stride
+        if scatter_phase is None:
+            phase = (ctx.seed_bits % jnp.uint32(scatter_stride)).astype(jnp.int32)
+        else:
+            # explicit phase (tests / callers managing their own rotation):
+            # averaging the k phase gradients at a FIXED seed reproduces the
+            # exact gradient identically (the phases partition the steps)
+            phase = jnp.asarray(scatter_phase, jnp.int32)
+        sel = phase + scatter_stride * jnp.arange(count, dtype=jnp.int32)
+        take = lambda x: jnp.take(x, sel, axis=0)
+        sub = (jax.tree.map(take, tape), take(c_all), take(cb_all))
+
+        def scat_body(adj, inp):
+            t, c, cb = inp
+            return scatter_step(adj, t, c, cb,
+                                weight=jnp.float32(scatter_stride)), None
+
+        adj0, _ = jax.lax.scan(scat_body, adj0, sub)
+        acc = dict(acc, **adj0)
+
+    # ---- contract packed adjoints -> raw tables (dense pack transposes) --
+    grads = {}
+    if "extinction" in wrt:
+        grads["extinction"] = acc["g_ext"]
+    if want_tf:
+        g_tf = acc["g_tf"].reshape(Hp, Wp, CC)
+        if "material_tf" in wrt:
+            _, vjp_tf = jax.vjp(interp.pack_tex2d_corners_jnp,
+                                jnp.zeros((TH, TW, 4), jnp.float32))
+            (grads["material_tf"],) = vjp_tf(g_tf[..., :16])
+        if "light_spectrum" in wrt:
+            # light pair was broadcast over TF rows -> transpose = row sum
+            _, vjp_ls = jax.vjp(interp.pack_tex1d_corners_jnp,
+                                jnp.zeros((TW,), jnp.float32))
+            (grads["light_spectrum"],) = vjp_ls(jnp.sum(g_tf[..., 16:], axis=0))
+    if want_vol:
+        if xy_packed:
+            _, vjp_vol = jax.vjp(interp.pack_volume_corners_xy_jnp,
+                                 jnp.zeros((VD, VH, VW), jnp.float32))
+        else:
+            _, vjp_vol = jax.vjp(interp.pack_volume_corners_jnp,
+                                 jnp.zeros((VD, VH, VW), jnp.float32))
+        (grads["density"],) = vjp_vol(acc["g_vol"].reshape(ctx.density.shape))
+
+    image = M.radiance_to_rgb(state_out.radiance, ctx.bin_xyz)
+    return state_out, image, grads
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "n_bins", "volume_filter", "wrt",
+                     "scatter_stride"))
 def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
-                         volume_filter: str = "linear"):
+                         volume_filter: str = "linear",
+                         wrt: frozenset = ALL_WRT,
+                         scatter_stride: int = 1,
+                         scatter_phase=None):
     """Jitted forward dispatch + hand-derived backward:
     (state_out, image, grads). Forward results are bit-identical to
-    M.render on the same inputs."""
-    return spectral_backward(state0, ctx, g_image, steps, n_bins, volume_filter)
+    M.render on the same inputs. Dispatches on the ctx's table
+    representation: fused/packed tables use the fast packed-adjoint
+    backward, raw tables the reference replay path; grads always address
+    the raw tables. ``wrt`` restricts which gradients are computed and
+    ``scatter_stride`` enables stochastic gradient thinning (packed path
+    only; see spectral_backward_packed)."""
+    wrt = frozenset(wrt)
+    if ctx.material_tf.shape[-1] == 18 and ctx.density.ndim == 4:
+        return spectral_backward_packed(state0, ctx, g_image, steps, n_bins,
+                                        volume_filter, wrt=wrt,
+                                        scatter_stride=scatter_stride,
+                                        scatter_phase=scatter_phase)
+    if ctx.material_tf.shape[-1] == 4 and ctx.density.ndim == 3:
+        return spectral_backward(state0, ctx, g_image, steps, n_bins,
+                                 volume_filter)
+    raise ValueError(
+        "prb_render_and_grads needs either a fully raw ctx (pack_tables=False) "
+        "or the standard packed ctx (fused 18-wide TF + packed volume); got "
+        f"material_tf {ctx.material_tf.shape}, density {ctx.density.shape}"
+    )

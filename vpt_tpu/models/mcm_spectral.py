@@ -247,8 +247,16 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     # fused TF+light table ((257,257,18), pack_tex2d_with_tex1d): the light
     # spectrum shares the TF's x coordinate, so one gather returns both
     light_raw = None
+    tf_extras = None
     if ctx.material_tf.shape[-1] == 18:
-        mat, light_raw = interp.sample_tex2d_fused1d(ctx.material_tf, t, dens)
+        if collect:
+            # the packed-adjoint backward reuses the gathered TF rows for
+            # slopes/scatters — no second gather (kernels/spectral_backward)
+            mat, light_raw, tf_extras = interp.sample_tex2d_fused1d(
+                ctx.material_tf, t, dens, return_extras=True
+            )
+        else:
+            mat, light_raw = interp.sample_tex2d_fused1d(ctx.material_tf, t, dens)
     else:
         mat = interp.sample_tex2d(ctx.material_tf, t, dens)
     albedo = mat[..., 0]
@@ -336,6 +344,7 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
             null=null, scatter=scatter, absorb=absorb, oob=oob,
             respawn=respawn, emitted=emitted, samples_after=samples,
             hg_cos=hx * p.dx + hy * p.dy + hz * p.dz,
+            tf_extras=tf_extras,
         )
         return out_state, rng, score, internals
     return out_state, rng, score

@@ -153,6 +153,20 @@ def pack_volume_corners_jnp(density):
     )
 
 
+def pack_volume_corners_xy_jnp(density):
+    """Differentiable (jnp) pack_volume_corners_xy — same values bit-for-bit.
+
+    Exists mainly for its transpose: the packed-adjoint backward
+    (kernels/spectral_backward) scatters gradients into xy-packed rows and
+    contracts them back to the raw grid through jax.vjp of this function.
+    """
+    p = jnp.pad(density, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    return jnp.stack(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+        axis=-1,
+    )
+
+
 def pack_tex2d_corners_jnp(tex):
     """Differentiable pack_tex2d_corners (same values)."""
     p = jnp.pad(tex, ((1, 1), (1, 1), (0, 0)), mode="edge")
@@ -352,12 +366,17 @@ def pack_tex2d_with_tex1d(tex2d, tex1d):
     return np.ascontiguousarray(np.concatenate([t2, aux], axis=-1), t2.dtype)
 
 
-def sample_tex2d_fused1d(packed, u, v, C: int = 4):
+def sample_tex2d_fused1d(packed, u, v, C: int = 4, return_extras: bool = False):
     """Sample a pack_tex2d_with_tex1d table at normalized (u, v).
 
     Returns (mat (..., C), aux scalar) where ``mat`` is bit-identical to
     sample_tex2d of the packed 2D table and ``aux`` is bit-identical to
     sample_tex1d of the packed 1D table at ``u`` — one gather for both.
+
+    ``return_extras``: additionally return dict(rows, row_idx, fx, fy) —
+    the gathered corner rows and addressing, which the packed-adjoint
+    backward (kernels/spectral_backward) reuses to compute TF slopes and
+    scatter gradient rows without a second gather.
     """
     Hp, Wp, CC = packed.shape
     assert CC == 4 * C + 2
@@ -370,7 +389,8 @@ def sample_tex2d_fused1d(packed, u, v, C: int = 4):
 
     bx, fx = base_and_frac(u, W)
     by, fy = base_and_frac(v, H)
-    rows = jnp.take(packed.reshape(-1, CC), by * Wp + bx, axis=0)
+    row_idx = by * Wp + bx
+    rows = jnp.take(packed.reshape(-1, CC), row_idx, axis=0)
     c00 = rows[..., 0 * C : 1 * C]
     c01 = rows[..., 1 * C : 2 * C]
     c10 = rows[..., 2 * C : 3 * C]
@@ -383,6 +403,8 @@ def sample_tex2d_fused1d(packed, u, v, C: int = 4):
     l0 = rows[..., 4 * C]
     l1 = rows[..., 4 * C + 1]
     aux = l0 + (l1 - l0) * fx
+    if return_extras:
+        return mat, aux, dict(rows=rows, row_idx=row_idx, fx=fx, fy=fy)
     return mat, aux
 
 
