@@ -30,31 +30,70 @@ def _sync(x):
 
 
 def config2():
+    """BASELINE config 2 wording: "128^3 single-scatter MCM with Woodcock
+    tracking + HG phase, 512^2 @ 16spp" — that is the RGB MCM megakernel
+    (models/mcm.py: Woodcock free flights, HG scattering) capped at
+    bounces=1, i.e. single scattering. MCS (the reference's dedicated
+    single-scatter GLSL renderer, fixed per-frame scatter direction, no HG)
+    is measured alongside as the reference-exact alternative."""
     import jax.numpy as jnp
 
+    from vpt_tpu.models import mcm as MM
     from vpt_tpu.models.mcs import MCSRenderer
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import MCMConfig
 
-    r = MCSRenderer(Volume.sphere_in_cube(128), extinction=50.0,
-                    max_collisions=64, resolution=512)
     cam = Camera()
-    state = r.reset(cam, 0)
-    state, img = r.render(state, cam, 1)  # compile
-    _sync(img)
+    vol = Volume.sphere_in_cube(128)
     spp = 16
+
+    # -- headline: RGB MCM, bounces=1 (Woodcock + HG, per BASELINE) --------
+    r = MM.MCMRenderer(
+        vol, config=MCMConfig(extinction=50.0, anisotropy=0.5, bounces=1,
+                              steps=8),
+        resolution=512,
+    )
+    state = r.reset(cam, 0)
+    batch = 16
+    seeds = lambda lo: [(lo + k + 1) * 2654435761 % 2 ** 32 for k in range(batch)]
+    state, img = r.render_many(state, cam, seeds(0))  # compile + warm
+    s0 = _sync(state.samples)
+    t0 = time.perf_counter()
+    rounds = 4
+    for rr in range(rounds):
+        state, img = r.render_many(state, cam, seeds((rr + 1) * batch))
+    paths = _sync(state.samples) - s0
+    dt = time.perf_counter() - t0
+    mdn = np.asarray(img)
+    spp_measured = paths / (512 * 512)
+    out = dict(
+        config=2,
+        desc="128^3 single-scatter MCM (Woodcock+HG, bounces=1) 512^2 @ 16spp",
+        seconds=round(dt, 3),
+        paths=int(paths), spp_measured=round(spp_measured, 1),
+        mpaths_per_s=round(paths / dt / 1e6, 2),
+        est_seconds_to_target_spp=round(spp * 512 * 512 / (paths / dt) , 2),
+        finite=bool(np.isfinite(mdn).all()), mean=float(mdn.mean()),
+    )
+
+    # -- aux: MCS (reference-exact single-scatter algorithm) ---------------
+    r2 = MCSRenderer(vol, extinction=50.0, resolution=512)
+    state = r2.reset(cam, 0)
+    state, img = r2.render(state, cam, 1)  # compile
+    _sync(img)
     t0 = time.perf_counter()
     for f in range(spp):
-        state, img = r.render(state, cam, f + 2)
+        state, img = r2.render(state, cam, f + 2)
     _sync(img)
     dt = time.perf_counter() - t0
     mdn = np.asarray(img)
-    return dict(
-        config=2, desc="128^3 MCS single-scatter 512^2 @ 16spp",
-        seconds=round(dt, 3), spp=spp,
-        mrays_per_s=round(spp * 512 * 512 / dt / 1e6, 2),
-        finite=bool(np.isfinite(mdn).all()), mean=float(mdn.mean()),
+    out.update(
+        mcs_seconds=round(dt, 3),
+        mcs_mrays_per_s=round(spp * 512 * 512 / dt / 1e6, 2),
+        mcs_finite=bool(np.isfinite(mdn).all()),
     )
+    return out
 
 
 def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,

@@ -332,7 +332,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     near-proportionally.
     """
     assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
-    assert ctx.density.ndim == 4, "packed backward needs a packed volume"
+    assert isinstance(ctx.density, interp.PackedVolume), \
+        "packed backward needs a PackedVolume"
     assert ctx.environment is None, "environment-map gradients not supported"
     assert volume_filter == "linear", "packed backward supports linear filtering"
 
@@ -344,12 +345,12 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
 
     Hp, Wp, CC = ctx.material_tf.shape
     TH, TW = Hp - 1, Wp - 1
-    xy_packed = ctx.density.shape[-1] == 4
+    xy_packed = ctx.density.kind == "xy"
     if xy_packed:
-        VD, VHp, VWp, _ = ctx.density.shape
+        VD, VHp, VWp = ctx.density.dims
         VH, VW = VHp - 1, VWp - 1
     else:
-        VDp, VHp, VWp, _ = ctx.density.shape
+        VDp, VHp, VWp = ctx.density.dims
         VD, VH, VW = VDp - 1, VHp - 1, VWp - 1
 
     ld = ctx.light_direction
@@ -358,8 +359,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
 
     want_tf = "material_tf" in wrt or "light_spectrum" in wrt
     want_vol = "density" in wrt
-    n_vol_rows = int(np.prod(ctx.density.shape[:-1]))
-    vwidth = 4 if xy_packed else 8
+    n_vol_rows = ctx.density.n_rows
+    vwidth = ctx.density.width
 
     # ---- pass 1: forward, taping everything the reverse scatters need ----
     def fwd_body(carry, _):
@@ -592,7 +593,7 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         else:
             _, vjp_vol = jax.vjp(interp.pack_volume_corners_jnp,
                                  jnp.zeros((VD, VH, VW), jnp.float32))
-        (grads["density"],) = vjp_vol(acc["g_vol"].reshape(ctx.density.shape))
+        (grads["density"],) = vjp_vol(acc["g_vol"].reshape(ctx.density.shape4))
 
     image = M.radiance_to_rgb(state_out.radiance, ctx.bin_xyz)
     return state_out, image, grads
@@ -616,16 +617,18 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
     ``scatter_stride`` enables stochastic gradient thinning (packed path
     only; see spectral_backward_packed)."""
     wrt = frozenset(wrt)
-    if ctx.material_tf.shape[-1] == 18 and ctx.density.ndim == 4:
+    packed_vol = isinstance(ctx.density, interp.PackedVolume)
+    if ctx.material_tf.shape[-1] == 18 and packed_vol:
         return spectral_backward_packed(state0, ctx, g_image, steps, n_bins,
                                         volume_filter, wrt=wrt,
                                         scatter_stride=scatter_stride,
                                         scatter_phase=scatter_phase)
-    if ctx.material_tf.shape[-1] == 4 and ctx.density.ndim == 3:
+    if ctx.material_tf.shape[-1] == 4 and not packed_vol and ctx.density.ndim == 3:
         return spectral_backward(state0, ctx, g_image, steps, n_bins,
                                  volume_filter)
     raise ValueError(
         "prb_render_and_grads needs either a fully raw ctx (pack_tables=False) "
         "or the standard packed ctx (fused 18-wide TF + packed volume); got "
-        f"material_tf {ctx.material_tf.shape}, density {ctx.density.shape}"
+        f"material_tf {ctx.material_tf.shape}, density "
+        f"{ctx.density.shape4 if packed_vol else ctx.density.shape}"
     )

@@ -185,6 +185,33 @@ def render(state: PhotonState, ctx: MCMCtx, steps: int, volume_filter: str = "li
     return state, image
 
 
+@functools.partial(jax.jit, static_argnames=("steps", "volume_filter"),
+                   donate_argnames=("state",))
+def render_many(state: PhotonState, ctx: MCMCtx, seeds, steps: int,
+                volume_filter: str = "linear"):
+    """K render dispatches in one device program (lax.scan over frame
+    seeds) — bit-identical to K sequential ``render`` calls, amortizing all
+    host/dispatch overhead (same pattern as mcm_spectral.render_many)."""
+    resolution = state.px.shape[-1]
+    ix, iy = _pixel_grid(resolution)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+
+    def dispatch(p, seed_bits):
+        c = ctx._replace(seed_bits=seed_bits)
+        rng = sampling.seed_state(ix, iy, seed_bits)
+
+        def body(_, carry):
+            q, r = carry
+            return _render_body(q, r, sx, sy, c, volume_filter)
+
+        p, _ = jax.lax.fori_loop(0, steps, body, (p, rng))
+        return p, None
+
+    state, _ = jax.lax.scan(dispatch, state, seeds)
+    image = jnp.stack([state.rr, state.rg, state.rb], axis=-1)
+    return state, image
+
+
 @register_renderer("mcm")
 class MCMRenderer:
     """Progressive RGB MCM renderer bound to scene resources."""
@@ -203,7 +230,7 @@ class MCMRenderer:
         density = volume.density
         tf_table = self.tf2d.rasterize()
         if pack_tables and volume.filter in ("linear", "quasicubic"):
-            density = interp.pack_volume_corners(density)
+            density = interp.PackedVolume.pack(density, "full")
             tf_table = interp.pack_tex2d_corners(tf_table)
         cfg = self.config
         self._static_ctx = dict(
@@ -211,7 +238,8 @@ class MCMRenderer:
             blur=jnp.float32(cfg.blur),
             anisotropy=jnp.float32(cfg.anisotropy),
             max_bounces=jnp.int32(cfg.bounces),
-            density=jnp.asarray(density),
+            density=(density if isinstance(density, interp.PackedVolume)
+                     else jnp.asarray(density)),
             tf_table=jnp.asarray(tf_table),
             environment=jnp.asarray(environment, jnp.float32),
         )
@@ -230,3 +258,11 @@ class MCMRenderer:
     def render(self, state: PhotonState, camera, seed: int):
         return render(state, self.ctx(camera, seed), steps=self.config.steps,
                       volume_filter=self.volume.filter)
+
+    def render_many(self, state: PhotonState, camera, seeds):
+        """K dispatches in one device program (amortized host overhead)."""
+        seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+        return render_many(
+            state, self.ctx(camera, int(np.asarray(seeds)[0])), seeds,
+            steps=self.config.steps, volume_filter=self.volume.filter,
+        )

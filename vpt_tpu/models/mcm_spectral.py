@@ -65,7 +65,7 @@ class SpectralCtx(NamedTuple):
     blur: jax.Array  # () f32
     max_bounces: jax.Array  # () i32
     light_direction: jax.Array  # (3,) f32
-    density: jax.Array  # (D, H, W) f32
+    density: jax.Array  # raw (D,H,W) f32 | interp.PackedVolume (fast path)
     material_tf: jax.Array  # (256, 256, 4) f32
     light_spectrum: jax.Array  # (256,) f32
     boundaries: jax.Array  # (B+1,) f32 bin boundaries
@@ -76,6 +76,12 @@ class SpectralCtx(NamedTuple):
     # written but commented out (MCMSpectralComputeRenderer.wgsl:49-60,
     # :143-146); here it is a first-class opt-in mode.
     environment: jax.Array | None = None
+    # optional (Gz, Gy, Gx, 2) super-voxel majorant table (ops/majorant):
+    # per cell (majorant alpha, flight validity range). None = the
+    # reference-exact global majorant. When set, free flights sample at the
+    # local rate and cap at the range — statistically exact (image-level
+    # parity), far fewer steps per path through empty/thin regions.
+    majorant: jax.Array | None = None
 
 
 def _pixel_grid(resolution, streams: int = 1):
@@ -219,7 +225,29 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     all_mask = jnp.ones(p.px.shape, bool)
 
     # free flight
-    rng, dist = sampling.draw_exponential(rng, all_mask, ctx.extinction)
+    maj = None
+    if ctx.majorant is not None:
+        if diff or collect:
+            raise NotImplementedError(
+                "the super-voxel majorant mode is forward-only; use the "
+                "reference-exact global-majorant path for gradients"
+            )
+        # local majorant lookup: one 2-wide row gather into a ~MB table
+        Gz, Gy, Gx, _ = ctx.majorant.shape
+        cz = jnp.clip(jnp.floor(p.pz * Gz).astype(jnp.int32), 0, Gz - 1)
+        cy = jnp.clip(jnp.floor(p.py * Gy).astype(jnp.int32), 0, Gy - 1)
+        cx = jnp.clip(jnp.floor(p.px * Gx).astype(jnp.int32), 0, Gx - 1)
+        row = jnp.take(ctx.majorant.reshape(-1, 2), (cz * Gy + cy) * Gx + cx, axis=0)
+        maj = jnp.maximum(row[..., 0], 1e-12)
+        flight_cap = row[..., 1]
+        rng, dist = sampling.draw_exponential(rng, all_mask, ctx.extinction * maj)
+        # flight >= cap: pure advance by the cap and resample next step —
+        # exact by the exponential's memorylessness (no event, no gathers
+        # consumed conceptually; the masked megakernel still issues them)
+        capped = dist >= flight_cap
+        dist = jnp.minimum(dist, flight_cap)
+    else:
+        rng, dist = sampling.draw_exponential(rng, all_mask, ctx.extinction)
     if diff:
         # Score-form free flight: the sampled distance feeds the
         # *discontinuous* OOB test, so the reparameterized (pathwise)
@@ -238,9 +266,19 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     py = p.py + dist * p.dy
     pz = p.pz + dist * p.dz
 
+    oob = (
+        (px > 1.0) | (px < 0.0) | (py > 1.0) | (py < 0.0) | (pz > 1.0) | (pz < 0.0)
+    )
+
     # material lookup: volume density -> 2D TF at (wavelength_t, density)
     # (sample_volume_fn overrides the sampler, e.g. the slab-sharded
     # distributed gather in parallel/slab.py)
+    #
+    # Note: redirecting dead lanes' (OOB / majorant-capped) sample coords to
+    # a fixed "hot" row was measured and REJECTED: XLA:TPU gather cost is
+    # flat in address locality even on multi-GB tables (~9.4 ns/idx random
+    # over 2.1 GB == random over 2 MB), and an all-same-address stream is
+    # ~60% SLOWER (same-bank serialization) — see ARCHITECTURE.md.
     t = (p.wavelength - 400.0) / 300.0
     sample_volume = sample_volume_fn or interp.sample_volume
     dens = sample_volume(ctx.density, px, py, pz, volume_filter)
@@ -263,18 +301,24 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     alpha = mat[..., 1]
     g = mat[..., 2] * 2.0 - 1.0
 
-    p_null = 1.0 - alpha
-    p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, alpha * albedo)
-    p_absorb = 1.0 - p_null - p_scatter
+    if maj is not None:
+        # delta-tracking acceptance against the local majorant: real-event
+        # probability alpha/m (<= 1 by construction of the table); the wheel
+        # then splits the real event into scatter/absorb like the reference
+        p_real = jnp.minimum(alpha / maj, 1.0)
+        p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, p_real * albedo)
+        p_absorb = p_real - p_scatter
+    else:
+        p_null = 1.0 - alpha
+        p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, alpha * albedo)
+        p_absorb = 1.0 - p_null - p_scatter
 
     rng, wheel = sampling.draw(rng, all_mask)
 
-    oob = (
-        (px > 1.0) | (px < 0.0) | (py > 1.0) | (py < 0.0) | (pz > 1.0) | (pz < 0.0)
-    )
-    absorb = (~oob) & (wheel < p_absorb)
-    scatter = (~oob) & (~absorb) & (wheel < p_absorb + p_scatter)
-    null = (~oob) & (~absorb) & (~scatter)
+    event = ~oob if maj is None else (~oob) & (~capped)
+    absorb = event & (wheel < p_absorb)
+    scatter = event & (~absorb) & (wheel < p_absorb + p_scatter)
+    null = event & (~absorb) & (~scatter)
     respawn = oob | absorb
 
     # -- radiance deposit (incremental one-hot mean over all bins) ---------
@@ -507,6 +551,8 @@ class MCMSpectralRenderer:
         pack_tables: bool | set = True,
         streams: int = 1,
         environment=None,
+        majorant_blocks: int | None = None,
+        mesh=None,
     ):
         from vpt_tpu.ops.spectral import bin_coefficients
 
@@ -542,12 +588,15 @@ class MCMSpectralRenderer:
         elif pack_tables is False:
             pack_tables = set()
         if self.volume.filter in ("linear", "quasicubic"):
+            # packed tables are stored FLAT (interp.PackedVolume): XLA:TPU
+            # lays out big 4-D tables planes-major, which would split every
+            # corner row across memory (the "layout wall", ARCHITECTURE.md)
             if "density" in pack_tables:
-                density = interp.pack_volume_corners(density)
+                density = interp.PackedVolume.pack(density, "full")
             elif "density_xy" in pack_tables:
                 # 4x-memory half packing: 2 gathers/step instead of 8 —
                 # the mode for volumes whose 8x table exceeds HBM
-                density = interp.pack_volume_corners_xy(density)
+                density = interp.PackedVolume.pack(density, "xy")
             if "material_tf" in pack_tables and "light_spectrum" in pack_tables:
                 # fused (257,257,18) table: the light's packed pair rides the
                 # TF gather (shared x coordinate) — the per-step light lookup
@@ -559,6 +608,20 @@ class MCMSpectralRenderer:
                 mtf = interp.pack_tex2d_corners(mtf)
             elif "light_spectrum" in pack_tables:
                 light_spectrum = interp.pack_tex1d_corners(light_spectrum)
+        # optional super-voxel majorant grid (ops/majorant): built from the
+        # RAW density + TF before any packing; statistically exact mode that
+        # trades per-sample reference parity for far fewer steps per path
+        # (the big-volume / sparse-scene accelerator, BASELINE config 5)
+        maj = None
+        if majorant_blocks is not None:
+            from vpt_tpu.ops.majorant import build_majorant_grid
+
+            maj = jnp.asarray(
+                build_majorant_grid(
+                    self.volume.density, self.material_tf.table,
+                    self.config.extinction, block=majorant_blocks,
+                )
+            )
         env = None
         if environment is not None:
             env = np.asarray(environment, np.float32)
@@ -568,16 +631,30 @@ class MCMSpectralRenderer:
         cfg = self.config
         self._static_ctx = dict(
             environment=env,
+            majorant=maj,
             extinction=jnp.float32(cfg.extinction),
             blur=jnp.float32(cfg.blur),
             max_bounces=jnp.int32(cfg.bounces),
             light_direction=jnp.asarray(self.light.direction, jnp.float32),
-            density=jnp.asarray(density),
+            density=(density if isinstance(density, interp.PackedVolume)
+                     else jnp.asarray(density)),
             material_tf=jnp.asarray(mtf),
             light_spectrum=jnp.asarray(light_spectrum),
             boundaries=jnp.asarray(self.spectrum.boundaries, jnp.float32),
             bin_xyz=jnp.asarray(self._bin_xyz),
         )
+        # mesh-aware mode: scene resources replicate across the "rays" mesh
+        # and reset() returns row-sharded state, so render/render_many run
+        # multi-device through the same public API (the reference's single
+        # L3 context serving any device, WebGPURenderingContext.js:117-251)
+        self.mesh = mesh
+        if mesh is not None:
+            from vpt_tpu.parallel.mesh import replicated
+
+            self._static_ctx = {
+                k: (v if v is None else jax.device_put(v, replicated(mesh)))
+                for k, v in self._static_ctx.items()
+            }
 
     def ctx(self, camera, seed: int) -> SpectralCtx:
         """Build the dynamic context for one dispatch.
@@ -585,15 +662,33 @@ class MCMSpectralRenderer:
         ``seed`` is a deterministic per-dispatch integer (the reference used
         Math.random(); we hash the dispatch index for reproducibility)."""
         seed_bits = np.uint32(seed) if isinstance(seed, (int, np.integer)) else np.float32(seed).view(np.uint32)
+        inv_mvp = jnp.asarray(camera.inverse_mvp())
+        seed_bits = jnp.uint32(seed_bits)
+        if self.mesh is not None:
+            from vpt_tpu.parallel.mesh import replicated
+
+            inv_mvp = jax.device_put(inv_mvp, replicated(self.mesh))
+            seed_bits = jax.device_put(seed_bits, replicated(self.mesh))
         return SpectralCtx(
-            inv_mvp=jnp.asarray(camera.inverse_mvp()),
-            seed_bits=jnp.uint32(seed_bits),
+            inv_mvp=inv_mvp,
+            seed_bits=seed_bits,
             **self._static_ctx,
         )
 
+    def shard_state(self, state: SpectralState) -> SpectralState:
+        """Place accumulation state on the renderer's mesh (no-op without
+        one). Used by reset() and by checkpoint restore (session.py)."""
+        if self.mesh is None:
+            return state
+        from vpt_tpu.parallel.mesh import shard_spectral_state
+
+        return shard_spectral_state(state, self.mesh)
+
     def reset(self, camera, seed: int = 0) -> SpectralState:
-        return full_reset(self.ctx(camera, seed), self.resolution,
-                          self.spectrum.n_bins, streams=self.streams)
+        return self.shard_state(
+            full_reset(self.ctx(camera, seed), self.resolution,
+                       self.spectrum.n_bins, streams=self.streams)
+        )
 
     def render(self, state: SpectralState, camera, seed: int):
         return render(

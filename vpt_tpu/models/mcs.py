@@ -10,9 +10,10 @@ direction by rejection-sampling the unit ball per frame
 (MCSRenderer.js:106-116) — here a deterministic hash-chain does the same
 rejection loop so replays are exact.
 
-The unbounded do-while collision loops become fixed-trip-count fori_loops
-with lane masking; ``max_collisions`` bounds them (expected trips ~
-extinction * path length; default generous).
+The unbounded do-while collision loops become all-lanes-done early-exit
+while_loops with lane masking; ``max_collisions`` is a safety cap only
+(default generous — expected trips ~ extinction * path length, and the
+exit fires as soon as the straggler lane finishes).
 """
 
 from __future__ import annotations
@@ -48,13 +49,22 @@ def _woodcock_distance(rng, ctx, frm, to, max_collisions, volume_filter):
     """sampleDistance: free-flight until a real collision or escape.
 
     Returns (rng, dist). Lanes stop advancing (and drawing) once done —
-    draw-order parity with the scalar do-while."""
+    draw-order parity with the scalar do-while. The loop is a while_loop
+    that exits as soon as EVERY lane is done (the reference's do-while is
+    unbounded, glsl:70-87): typical frames finish in a few trips instead of
+    always paying ``max_collisions``, and long straggler tails are no
+    longer silently truncated — ``max_collisions`` is a safety cap only.
+    """
     fx, fy, fz = frm
     tx, ty, tz = to
     max_dist = jnp.sqrt((tx - fx) ** 2 + (ty - fy) ** 2 + (tz - fz) ** 2)
 
-    def body(_, carry):
-        rng, dist, done = carry
+    def cond(carry):
+        i, rng, dist, done = carry
+        return (i < max_collisions) & ~jnp.all(done)
+
+    def body(carry):
+        i, rng, dist, done = carry
         active = ~done
         rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
         dist2 = jnp.where(active, dist + step, dist)
@@ -65,23 +75,28 @@ def _woodcock_distance(rng, ctx, frm, to, max_collisions, volume_filter):
                          fz + (tz - fz) * t, volume_filter)
         rng, u = sampling.draw(rng, still)
         collided = still & (u < tf4[..., 3])
-        return rng, dist2, done | escaped | collided
+        return i + 1, rng, dist2, done | escaped | collided
 
     zeros = jnp.zeros_like(max_dist)
-    rng, dist, _ = jax.lax.fori_loop(
-        0, max_collisions, body, (rng, zeros, zeros.astype(bool))
+    _, rng, dist, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), rng, zeros, zeros.astype(bool))
     )
     return rng, dist, max_dist
 
 
 def _woodcock_transmittance(rng, mask, ctx, frm, to, max_collisions, volume_filter):
-    """sampleTransmittance: residual-ratio style product of (1 - alpha)."""
+    """sampleTransmittance: residual-ratio style product of (1 - alpha).
+    Early-exits when all lanes are done, like _woodcock_distance."""
     fx, fy, fz = frm
     tx, ty, tz = to
     max_dist = jnp.sqrt((tx - fx) ** 2 + (ty - fy) ** 2 + (tz - fz) ** 2)
 
-    def body(_, carry):
-        rng, dist, trans, done = carry
+    def cond(carry):
+        i, rng, dist, trans, done = carry
+        return (i < max_collisions) & ~jnp.all(done)
+
+    def body(carry):
+        i, rng, dist, trans, done = carry
         active = mask & ~done
         rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
         dist2 = jnp.where(active, dist + step, dist)
@@ -91,11 +106,13 @@ def _woodcock_transmittance(rng, mask, ctx, frm, to, max_collisions, volume_filt
         tf4 = _sample_tf(ctx, fx + (tx - fx) * t, fy + (ty - fy) * t,
                          fz + (tz - fz) * t, volume_filter)
         trans2 = jnp.where(still, trans * (1.0 - tf4[..., 3]), trans)
-        return rng, dist2, trans2, done | escaped
+        return i + 1, rng, dist2, trans2, done | escaped
 
     zeros = jnp.zeros_like(max_dist)
-    rng, _, trans, _ = jax.lax.fori_loop(
-        0, max_collisions, body, (rng, zeros, jnp.ones_like(max_dist), zeros.astype(bool))
+    done0 = ~mask  # lanes outside the mask never run
+    _, rng, _, trans, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), rng, zeros, jnp.ones_like(max_dist), done0),
     )
     return rng, trans
 
@@ -103,7 +120,7 @@ def _woodcock_transmittance(rng, mask, ctx, frm, to, max_collisions, volume_filt
 @functools.partial(
     jax.jit, static_argnames=("resolution", "max_collisions", "volume_filter")
 )
-def mcs_frame(ctx: MCSCtx, resolution: int, max_collisions: int = 64,
+def mcs_frame(ctx: MCSCtx, resolution: int, max_collisions: int = 1024,
               volume_filter: str = "linear"):
     """One single-scattering sample per pixel -> (H, W, 4) RGBA frame."""
     from vpt_tpu.models.raymarch import camera_rays
@@ -199,7 +216,7 @@ def _host_scatter_direction(seed: int):
 @register_renderer("mcs")
 class MCSRenderer:
     def __init__(self, volume, tf2d=None, environment=None,
-                 extinction: float = 1.0, max_collisions: int = 64,
+                 extinction: float = 1.0, max_collisions: int = 1024,
                  resolution: int = 512):
         from vpt_tpu.scene.tf import TransferFunction2D
 
@@ -213,11 +230,12 @@ class MCSRenderer:
         density = volume.density
         tf_table = self.tf2d.rasterize()
         if volume.filter in ("linear", "quasicubic"):
-            density = interp.pack_volume_corners(density)
+            density = interp.PackedVolume.pack(density, "full")
             tf_table = interp.pack_tex2d_corners(tf_table)
         self._static_ctx = dict(
             extinction=jnp.float32(extinction),
-            density=jnp.asarray(density),
+            density=(density if isinstance(density, interp.PackedVolume)
+                     else jnp.asarray(density)),
             tf_table=jnp.asarray(tf_table),
             environment=jnp.asarray(environment, jnp.float32),
         )

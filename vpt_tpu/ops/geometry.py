@@ -18,10 +18,15 @@ def intersect_cube(ox, oy, oz, dx, dy, dz):
     """Slab test of a ray against the unit cube [0,1]^3.
 
     Returns (tnear, tfar). Division by a zero direction component yields
-    +/-inf, which min/max resolve exactly like the WGSL version.
+    +/-inf BY DESIGN, which min/max resolve exactly like the WGSL version;
+    the errstate guard only silences NumPy's RuntimeWarning when callers
+    pass host arrays (device arrays never warn).
     """
-    t0x, t0y, t0z = (0.0 - ox) / dx, (0.0 - oy) / dy, (0.0 - oz) / dz
-    t1x, t1y, t1z = (1.0 - ox) / dx, (1.0 - oy) / dy, (1.0 - oz) / dz
+    import numpy as np
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t0x, t0y, t0z = (0.0 - ox) / dx, (0.0 - oy) / dy, (0.0 - oz) / dz
+        t1x, t1y, t1z = (1.0 - ox) / dx, (1.0 - oy) / dy, (1.0 - oz) / dz
     tnear = jnp.maximum(
         jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
         jnp.minimum(t0z, t1z),

@@ -17,6 +17,75 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.tree_util.register_pytree_node_class
+class PackedVolume:
+    """A packed corner table stored FLAT: (rows, C) + static padded dims.
+
+    Why not keep the natural (D, Hp, Wp, C) array: XLA:TPU picks a
+    planes-major layout ({2,1,0,3}) for large 4-D tables with a tiny
+    trailing dim, physically splitting every packed corner row across C
+    planes gigabytes apart — and inserts a full-table layout copy at
+    dispatch. Measured on the 512^3 xy table: in-situ gathers run ~57 ns/
+    index against the 4-D table vs ~12 ns against the same data stored
+    (rows, C) — the whole corner-packing win silently destroyed by layout.
+    Storing flat pins rows physically contiguous (ARCHITECTURE.md "the
+    layout wall").
+
+    ``dims``: the padded 3-D table dims — (D+1, H+1, W+1) for kind="full"
+    (C=8), (D, H+1, W+1) for kind="xy" (C=4). Registered as a pytree with
+    static (dims, kind) so it travels through jit/scan/shard_map like an
+    array.
+    """
+
+    def __init__(self, table, dims, kind: str):
+        self.table = table
+        self.dims = tuple(int(d) for d in dims)
+        self.kind = kind
+
+    def tree_flatten(self):
+        return (self.table,), (self.dims, self.kind)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+    @property
+    def width(self) -> int:
+        return 4 if self.kind == "xy" else 8
+
+    @property
+    def shape4(self):
+        """The logical 4-D packed shape (what pack_volume_corners* emit)."""
+        return self.dims + (self.width,)
+
+    @property
+    def n_rows(self) -> int:
+        d = self.dims
+        return d[0] * d[1] * d[2]
+
+    @staticmethod
+    def pack(density, kind: str = "full") -> "PackedVolume":
+        """Build from a raw (D, H, W) grid (host-side, one device upload)."""
+        import numpy as np
+
+        packed = (pack_volume_corners_xy if kind == "xy"
+                  else pack_volume_corners)(density)
+        dims = packed.shape[:3]
+        return PackedVolume(
+            jnp.asarray(packed.reshape(-1, packed.shape[-1])), dims, kind
+        )
+
+    @staticmethod
+    def from_packed4d(packed, kind: str | None = None) -> "PackedVolume":
+        """Wrap an existing 4-D packed table (reshaped flat)."""
+        if kind is None:
+            kind = "xy" if packed.shape[-1] == 4 else "full"
+        return PackedVolume(
+            jnp.asarray(packed).reshape(-1, packed.shape[-1]),
+            packed.shape[:3], kind,
+        )
+
+
 def _coords(u, n):
     """Normalized coord -> (lo index, hi index, frac) with clamp-to-edge."""
     t = u * n - 0.5
@@ -87,9 +156,10 @@ def pack_volume_corners_xy(density):
     return np.ascontiguousarray(corners, dtype=d.dtype)
 
 
-def _sample_volume_packed_xy(packed, u, v, w, mode):
-    """Two-gather trilinear sampling of a pack_volume_corners_xy table."""
-    D, Hp, Wp, _ = packed.shape
+def _sample_volume_packed_xy(flat, dims, u, v, w, mode):
+    """Two-gather trilinear sampling of a pack_volume_corners_xy table
+    ((rows, 4) flat + padded dims (D, H+1, W+1))."""
+    D, Hp, Wp = dims
     H, W = Hp - 1, Wp - 1
 
     def base_and_frac(t, n):
@@ -114,7 +184,6 @@ def _sample_volume_packed_xy(packed, u, v, w, mode):
     elif mode != "linear":
         raise ValueError(f"packed volumes support linear/quasicubic, not {mode!r}")
 
-    flat = packed.reshape(-1, 4)
     plane = by * Wp + bx
     r0 = jnp.take(flat, z0 * (Hp * Wp) + plane, axis=0)
     r1 = jnp.take(flat, z1 * (Hp * Wp) + plane, axis=0)
@@ -179,10 +248,10 @@ def pack_tex1d_corners_jnp(tex):
     return jnp.stack([p[:-1], p[1:]], axis=-1)
 
 
-def _sample_volume_packed(packed, u, v, w, mode):
+def _sample_volume_packed(flat, dims, u, v, w, mode):
     """Single-gather trilinear/quasi-cubic sampling of a packed corner table
-    ((D+1, H+1, W+1, 8) from pack_volume_corners)."""
-    Dp, Hp, Wp, _ = packed.shape
+    ((rows, 8) flat + padded dims (D+1, H+1, W+1))."""
+    Dp, Hp, Wp = dims
     D, H, W = Dp - 1, Hp - 1, Wp - 1
 
     def base_and_frac(t, n):
@@ -204,7 +273,7 @@ def _sample_volume_packed(packed, u, v, w, mode):
     elif mode != "linear":
         raise ValueError(f"packed volumes support linear/quasicubic, not {mode!r}")
 
-    rows = jnp.take(packed.reshape(-1, 8), (bz * Hp + by) * Wp + bx, axis=0)
+    rows = jnp.take(flat, (bz * Hp + by) * Wp + bx, axis=0)
     c000, c001, c010, c011 = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
     c100, c101, c110, c111 = rows[..., 4], rows[..., 5], rows[..., 6], rows[..., 7]
 
@@ -224,13 +293,19 @@ def sample_volume(density, u, v, w, mode: str = "linear"):
     (u,v,w) maps to (x,y,z): u indexes W, v indexes H, w indexes D —
     the 3D-texture convention the renderers rely on.
 
-    ``density`` is either a raw (D, H, W) grid or a packed corner table
-    ((D+1, H+1, W+1, 8) from pack_volume_corners — the fast path).
+    ``density`` is a raw (D, H, W) grid, a PackedVolume (the fast path:
+    flat corner table + static dims), or a legacy 4-D packed corner table
+    (accepted for compatibility; prefer PackedVolume — see its docstring
+    for why the 4-D layout is slow on TPU at scale).
     """
+    if isinstance(density, PackedVolume):
+        fn = _sample_volume_packed_xy if density.kind == "xy" else _sample_volume_packed
+        return fn(density.table, density.dims, u, v, w, mode)
     if density.ndim == 4:
+        flat = density.reshape(-1, density.shape[-1])
         if density.shape[-1] == 4:  # xy half-packed (big-volume mode)
-            return _sample_volume_packed_xy(density, u, v, w, mode)
-        return _sample_volume_packed(density, u, v, w, mode)
+            return _sample_volume_packed_xy(flat, density.shape[:3], u, v, w, mode)
+        return _sample_volume_packed(flat, density.shape[:3], u, v, w, mode)
     D, H, W = density.shape
     flat = density.reshape(-1)
 

@@ -47,14 +47,15 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_spectral_state(state, mesh: Mesh):
     """Place a SpectralState so lanes are row-sharded across "rays".
 
-    (H, W) leaves shard dim 0; (B, H, W) leaves shard dim 1.
+    Lane leaves always end in (..., H, W) — (H, W), (S, H, W) with sample
+    streams, (B, H, W) binned, (B, S, H, W) binned+streams — so the
+    framebuffer H axis is uniformly ``ndim - 2``. Leaves with fewer than 2
+    dims replicate.
     """
 
     def place(x):
-        if x.ndim == 2:
-            s = row_sharding(mesh, 2, 0)
-        elif x.ndim == 3:
-            s = row_sharding(mesh, 3, 1)
+        if x.ndim >= 2:
+            s = row_sharding(mesh, x.ndim, x.ndim - 2)
         else:
             s = replicated(mesh)
         return jax.device_put(x, s)

@@ -20,6 +20,11 @@ which is exactly what the test asserts on a virtual 8-device mesh.
 Everything else in the dispatch is elementwise per lane, so the whole
 megakernel runs under one shard_map with only these two collectives per
 step. Communication per step: n*N indices + N*8 floats per device.
+
+Sample streams compose with slab mode: (S, H, W) lanes shard the H axis
+like the replicated path. The super-voxel majorant table (ctx.majorant),
+when present, stays replicated — it is ~MBs where the corner table is GBs,
+so sharding it would add collectives for no memory win.
 """
 
 from __future__ import annotations
@@ -117,34 +122,48 @@ def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
     """
     n = mesh.devices.size
     resolution = state.px.shape[-1]
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
     D, H, W = volume_dims
     Dp_padded = ctx.density.shape[0]
     rows_per_device = (Dp_padded // n) * (H + 1) * (W + 1)
 
+    # lane leaves are (H, W) or — with sample streams — (S, H, W); the
+    # framebuffer H axis shards over "rays" either way (streams replicate:
+    # they are per-pixel, not per-device)
+    lane = P(AXIS, None) if streams == 1 else P(None, AXIS, None)
+    binned = P(None, AXIS, None) if streams == 1 else P(None, None, AXIS, None)
     state_specs = M.SpectralState(
-        px=P(AXIS, None), py=P(AXIS, None), pz=P(AXIS, None),
-        dx=P(AXIS, None), dy=P(AXIS, None), dz=P(AXIS, None),
-        bounces=P(AXIS, None), samples=P(AXIS, None), bin=P(AXIS, None),
-        wavelength=P(AXIS, None),
-        radiance=P(None, AXIS, None), transmittance=P(None, AXIS, None),
+        px=lane, py=lane, pz=lane, dx=lane, dy=lane, dz=lane,
+        bounces=lane, samples=lane, bin=lane, wavelength=lane,
+        radiance=binned, transmittance=binned,
     )
     ctx_specs = M.SpectralCtx(
         inv_mvp=P(), seed_bits=P(), extinction=P(), blur=P(),
         max_bounces=P(), light_direction=P(),
         density=P(AXIS, None, None, None),
         material_tf=P(), light_spectrum=P(), boundaries=P(), bin_xyz=P(),
+        environment=None if ctx.environment is None else P(),
+        majorant=None if ctx.majorant is None else P(),
     )
 
     rows_local = resolution // n
 
     def shard_fn(state, ctx):
         me = jax.lax.axis_index(AXIS)
-        # global pixel coordinates for this device's row shard
-        iy_local = jax.lax.broadcasted_iota(jnp.uint32, (rows_local, resolution), 0)
-        ix = jax.lax.broadcasted_iota(jnp.uint32, (rows_local, resolution), 1)
+        # global pixel coordinates for this device's row shard (streams seed
+        # as extra framebuffer rows, exactly like _pixel_grid)
+        shape = (rows_local, resolution) if streams == 1 else (
+            streams, rows_local, resolution
+        )
+        iy_local = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+        ix = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
         iy = iy_local + me.astype(jnp.uint32) * jnp.uint32(rows_local)
+        seed_iy = iy
+        if streams > 1:
+            s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            seed_iy = iy + s * jnp.uint32(resolution)
         sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-        rng = sampling.seed_state(ix, iy, ctx.seed_bits)
+        rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
 
         def slab_sampler(density, u, v, w, mode="linear"):
             return _sample_volume_slab(

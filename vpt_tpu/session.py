@@ -46,9 +46,17 @@ class RenderSession:
         tonemapper_kw: Optional[dict] = None,
         camera: Optional[Camera] = None,
         base_seed: int = 0,
+        mesh=None,
         **renderer_kw,
     ):
         self.renderer_key = renderer_key
+        # multi-device sessions: the mesh flows into the renderer, which
+        # replicates scene resources and row-shards accumulation state; the
+        # frame loop, metrics, and checkpoints below are unchanged (and
+        # checkpoints stay mesh-shape independent — test_recovery.py)
+        if mesh is not None:
+            renderer_kw = dict(renderer_kw, mesh=mesh)
+        self.mesh = mesh
         self.renderer = make_renderer(renderer_key, *renderer_args, **renderer_kw)
         self.tonemapper_key = tonemapper
         self.tonemapper = make_tonemapper(tonemapper, **(tonemapper_kw or {}))
@@ -195,7 +203,11 @@ class RenderSession:
                 f"{saved.shape}/{saved.dtype}"
             )
             new_leaves.append(jnp.asarray(saved))
-        self.state = jax.tree.unflatten(treedef, new_leaves)
+        state = jax.tree.unflatten(treedef, new_leaves)
+        shard = getattr(self.renderer, "shard_state", None)
+        if shard is not None:
+            state = shard(state)  # checkpoints are mesh-shape independent
+        self.state = state
         self.frame = int(data["frame"])
         self.base_seed = int(data["base_seed"])
         return self
