@@ -160,6 +160,8 @@ def main():
             "value": round(fwd, 3),
             "unit": "Mpaths/s/chip",
             "vs_baseline": _vs_baseline(fwd, key="fwd_value"),
+            "baseline": "this build's round-1 measurement "
+                        "(BENCH_BASELINE.json); reference publishes none",
         }))
         return
 
@@ -174,6 +176,8 @@ def main():
         "vs_baseline": _vs_baseline(exact),
         "fwd_mpaths_per_s": round(fwd, 3),
         "fwdbwd_thinned_stride4": round(thinned, 3),
+        "baseline": "this build's round-1 measurement "
+                    "(BENCH_BASELINE.json); reference publishes none",
     }))
 
 

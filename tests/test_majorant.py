@@ -109,6 +109,60 @@ def test_majorant_image_parity_and_progress():
     assert paths_m > paths_a
 
 
+def test_majorant_on_mesh_bit_identical():
+    """Majorant mode composes with the rays mesh (replicated table)."""
+    import jax
+    import numpy as np
+
+    from vpt_tpu.parallel.mesh import ray_mesh, replicated, shard_spectral_state
+
+    renderer = _renderer(4)
+    cam = Camera()
+    ctx = renderer.ctx(cam, 3)
+    state = renderer.reset(cam, 3)
+    _, ref_img = M.render(state, ctx, steps=8, n_bins=12)
+
+    mesh = ray_mesh(8)
+    ctx2 = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)),
+                        renderer.ctx(cam, 3))
+    state2 = shard_spectral_state(renderer.reset(cam, 3), mesh)
+    _, out_img = M.render(state2, ctx2, steps=8, n_bins=12)
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(ref_img))
+
+
+def test_majorant_with_slab_volume_bit_identical():
+    """Majorant mode composes with the slab-sharded volume (the majorant
+    table stays replicated; only the corner table shards)."""
+    import jax
+    import numpy as np
+
+    from vpt_tpu.parallel import slab
+    from vpt_tpu.parallel.mesh import ray_mesh, replicated, shard_spectral_state
+
+    vol = Volume.sphere_in_cube(32)
+    renderer = M.MCMSpectralRenderer(
+        vol, MaterialTF(_ramp_tf()),
+        LightConfig(direction=(1.0, 0.2, 0.5)), SpectrumConfig(),
+        MCMSpectralConfig(extinction=EXT, bounces=8, steps=6),
+        resolution=16, majorant_blocks=8,
+    )
+    cam = Camera()
+    ctx = renderer.ctx(cam, 5)
+    state = renderer.reset(cam, 5)
+    _, ref_img = M.render(state, ctx, steps=6, n_bins=12)
+
+    mesh = ray_mesh(8)
+    packed = slab.pad_packed_for_slabs(interp.pack_volume_corners(vol.density), 8)
+    ctx2 = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)),
+                        renderer.ctx(cam, 5))
+    ctx2 = ctx2._replace(density=slab.shard_packed_volume(packed, mesh))
+    state2 = shard_spectral_state(renderer.reset(cam, 5), mesh)
+    _, out_img = slab.render_slab(
+        state2, ctx2, mesh, volume_dims=vol.density.shape, steps=6, n_bins=12
+    )
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(ref_img))
+
+
 def test_majorant_rejects_gradient_paths():
     import jax.numpy as jnp
 

@@ -148,3 +148,46 @@ def test_xy_packed_renderer_matches_unpacked():
         sp, ip = rp.render(sp, cam, f + 1)
         su, iu = ru.render(su, cam, f + 1)
     np.testing.assert_array_equal(np.asarray(ip), np.asarray(iu))
+
+
+def test_flat_packed_volume_bit_exact():
+    """PackedVolume (flat 2-D storage, the big-table layout) samples
+    bit-identically to the raw grid and the legacy 4-D packed table, for
+    both full and xy packings and both filter modes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vpt_tpu.ops import interp
+    from vpt_tpu.scene.volume import Volume
+
+    vol = Volume.sphere_in_cube(16).density
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+    v = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+    w = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+
+    for kind, pack4d in (("full", interp.pack_volume_corners),
+                         ("xy", interp.pack_volume_corners_xy)):
+        flat = interp.PackedVolume.pack(vol, kind)
+        packed4d = jnp.asarray(pack4d(vol))
+        for mode in ("linear", "quasicubic"):
+            want = np.asarray(interp.sample_volume(jnp.asarray(vol), u, v, w, mode))
+            got4 = np.asarray(interp.sample_volume(packed4d, u, v, w, mode))
+            gotf = np.asarray(interp.sample_volume(flat, u, v, w, mode))
+            np.testing.assert_array_equal(got4, want, err_msg=f"{kind}/{mode} 4D")
+            np.testing.assert_array_equal(gotf, want, err_msg=f"{kind}/{mode} flat")
+
+
+def test_pack_volume_auto_picks_by_size():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vpt_tpu.ops import interp
+    from vpt_tpu.scene.volume import Volume
+
+    vol = Volume.sphere_in_cube(16).density
+    small = interp.pack_volume_auto(vol, "full")
+    assert not isinstance(small, interp.PackedVolume) and small.ndim == 4
+    big = interp.pack_volume_auto(vol, "full", flat_threshold_bytes=1)
+    assert isinstance(big, interp.PackedVolume)
+    assert big.dims == (17, 17, 17) and big.kind == "full"

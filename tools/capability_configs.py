@@ -104,7 +104,6 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
     import jax.numpy as jnp
 
     from vpt_tpu.models import mcm_spectral as M
-    from vpt_tpu.ops.interp import pack_volume_corners_jnp
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
     from vpt_tpu.utils.config import (
@@ -124,7 +123,7 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
         pack_tables=(
             {"material_tf", "light_spectrum"}
             | ({"density_xy"} if pack_volume == "xy" else set())
-            if (grads or pack_volume is not True)
+            if pack_volume is not True
             else True
         ),
     )
@@ -137,30 +136,24 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
     target_paths = spp * resolution * resolution
     out = {}
     if grads:
-        raw = jnp.asarray(Volume.sphere_in_cube(volume_size).density)
-        tgt = jnp.zeros((resolution, resolution, 3), jnp.float32)
+        # the canonical config-3 gradient path: hand-derived packed-adjoint
+        # backward (kernels/spectral_backward.prb_render_and_grads), density
+        # gradients only — the same estimator bench.py's headline measures
+        from vpt_tpu.kernels.spectral_backward import prb_render_and_grads
 
-        def loss_fn(p, c_in, s0, seed_bits):
-            c = c_in._replace(density=pack_volume_corners_jnp(p["density"]),
-                              seed_bits=seed_bits)
-            score = jnp.ones_like(s0.px)
-            _, _, img = M.render_diff(s0, score, c, steps, 12)
-            return jnp.mean((img - tgt) ** 2)
-
-        gfn = jax.jit(jax.value_and_grad(loss_fn))
-        loss, g = gfn({"density": raw}, ctx, state, jnp.uint32(1))
+        g_img = jnp.ones((resolution, resolution, 3), jnp.float32)
+        wrt = frozenset({"density"})
+        st, img, g = prb_render_and_grads(state, ctx, g_img, steps, 12, wrt=wrt)
         _sync(g["density"])
+        s0 = _sync(st.samples)
         t0 = time.perf_counter()
-        n = 0
-        st = state
-        while True:
-            loss, g = gfn({"density": raw}, ctx, st, jnp.uint32(n + 2))
-            n += 1
-            if n >= max(1, spp // (steps * streams)):
-                break
+        n = max(2, spp // (steps * streams))
+        for k in range(n):
+            c = ctx._replace(seed_bits=jnp.uint32((k + 2) * 2654435761 % 2**32))
+            st, img, g = prb_render_and_grads(st, c, g_img, steps, 12, wrt=wrt)
         _sync(g["density"])
         dt = time.perf_counter() - t0
-        paths = n * steps * streams * resolution * resolution  # upper bound
+        paths = _sync(st.samples) - s0
         out.update(
             grad_dispatches=n, grad_seconds=round(dt, 3),
             grad_mpaths_per_s=round(paths / dt / 1e6, 2),
@@ -213,13 +206,44 @@ def config5():
                 **fwd)
 
 
+def scaling_virtual8():
+    """Run the scaling harness (weak-scaling sweep + collective
+    microbenchmark, parallel/scaling.py) on the virtual 8-device CPU mesh
+    in a subprocess — the same harness a real pod sweep uses; these numbers
+    validate the harness and the sharded program, NOT ICI bandwidth (the
+    8 'devices' share one CPU host)."""
+    import os
+    import subprocess
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import json;\n"
+        "from vpt_tpu.parallel.scaling import scaling_sweep, collective_microbench;\n"
+        "from vpt_tpu.parallel.mesh import ray_mesh;\n"
+        "rows = scaling_sweep(device_counts=[1,2,4,8], resolution_per_device=64,"
+        " volume_size=32, steps=8, dispatches=8, verbose=False);\n"
+        "mb = collective_microbench(ray_mesh(8), size_mb=32.0);\n"
+        "print(json.dumps(dict(sweep=rows, microbench=mb)))\n"
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=900)
+    data = json.loads(out.stdout.strip().splitlines()[-1])
+    return dict(config="scaling-virtual8", desc="scaling harness on the "
+                "virtual 8-device CPU mesh (harness validation, not ICI)",
+                **data)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip", nargs="*", type=int, default=[])
     args = ap.parse_args()
 
     rows = []
-    for n, fn in ((2, config2), (3, config3), (5, config5)):
+    for n, fn in ((2, config2), (3, config3), (5, config5),
+                  ("scaling", scaling_virtual8)):
         if n in args.skip:
             continue
         print(f"running config {n}...", file=sys.stderr)
@@ -235,8 +259,20 @@ def main():
         "Produced by tools/capability_configs.py on the current device",
         "(one TPU v5e chip via tunnel). Configs 1 and 4 are CI-tested",
         "(tests/test_config1_eam_oracle.py; tests/test_spectral_inverse.py +",
-        "tests/test_inverse.py on the 8-device virtual mesh). Config 5 runs",
-        "the single-chip slice of the multi-host workload (one host here).",
+        "tests/test_inverse.py on the 8-device virtual mesh). Config 3's",
+        "gradient correctness is pinned by central finite differences with",
+        "common random numbers (tests/test_grad_fd.py: EAM pixel gradients",
+        "vs FD of the jitted forward AND the NumPy oracle; spectral MCM",
+        "directional derivatives for density voxels / TF texels / extinction",
+        "for both the autodiff surrogate and the hand-derived backward).",
+        "Config 2 follows the BASELINE wording (single-scatter = RGB MCM,",
+        "Woodcock + HG, bounces=1); MCS — the reference's dedicated",
+        "single-scatter renderer with a fixed per-frame scatter direction and",
+        "no phase function — is reported alongside as mcs_* fields. Config 5",
+        "runs the single-chip slice of the multi-host workload (one host",
+        "here). The scaling-virtual8 row executes the pod-sweep harness",
+        "(parallel/scaling.py) on the virtual 8-device CPU mesh — it",
+        "validates the harness and the sharded program, not ICI bandwidth.",
         "",
         "```json",
     ]

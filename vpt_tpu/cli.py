@@ -60,6 +60,16 @@ def _load_envmap(args):
     return img[..., :3]
 
 
+def _make_mesh(args):
+    """--devices N -> a "rays" device mesh (None = single device)."""
+    n = getattr(args, "devices", None)
+    if not n or n <= 1:
+        return None
+    from vpt_tpu.parallel.mesh import ray_mesh
+
+    return ray_mesh(n)
+
+
 def _make_session(args):
     from vpt_tpu.session import RenderSession
     from vpt_tpu.utils.config import (
@@ -88,6 +98,8 @@ def _make_session(args):
             tonemapper=args.tonemapper, resolution=args.resolution,
             base_seed=args.seed, streams=args.streams,
             environment=_load_envmap(args),
+            majorant_blocks=args.majorant_blocks,
+            mesh=_make_mesh(args),
         )
     elif key == "mcm":
         sess = RenderSession(
@@ -257,6 +269,13 @@ def main(argv=None):
         sp.add_argument("--envmap", help="equirect environment image (PNG/NPY) for mcm/mcs/mcm-spectral")
         sp.add_argument("--streams", type=int, default=1,
                         help="parallel sample streams per pixel (mcm-spectral)")
+        sp.add_argument("--majorant-blocks", type=int, default=None,
+                        help="super-voxel majorant grid block size in voxels "
+                             "(mcm-spectral; statistically exact empty-space "
+                             "skipping for sparse scenes)")
+        sp.add_argument("--devices", type=int, default=None,
+                        help="shard the render over the first N devices "
+                             "(a 1-D 'rays' mesh; mcm-spectral)")
         sp.add_argument("--orbit", type=float, nargs=3,
                         metavar=("YAW", "PITCH", "DIST"))
 

@@ -332,10 +332,19 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     near-proportionally.
     """
     assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
-    assert isinstance(ctx.density, interp.PackedVolume), \
-        "packed backward needs a PackedVolume"
     assert ctx.environment is None, "environment-map gradients not supported"
     assert volume_filter == "linear", "packed backward supports linear filtering"
+
+    # the packed volume arrives either as a flat PackedVolume (large tables)
+    # or the natural 4-D array (small tables — interp.pack_volume_auto);
+    # the backward only needs the padded dims + kind, and its adjoint is
+    # flat (rows, width) in both cases
+    if isinstance(ctx.density, interp.PackedVolume):
+        vol_dims, vol_kind = ctx.density.dims, ctx.density.kind
+    else:
+        assert ctx.density.ndim == 4, "packed backward needs a packed volume"
+        vol_dims = ctx.density.shape[:3]
+        vol_kind = "xy" if ctx.density.shape[-1] == 4 else "full"
 
     resolution = state0.px.shape[-1]
     streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
@@ -345,12 +354,12 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
 
     Hp, Wp, CC = ctx.material_tf.shape
     TH, TW = Hp - 1, Wp - 1
-    xy_packed = ctx.density.kind == "xy"
+    xy_packed = vol_kind == "xy"
     if xy_packed:
-        VD, VHp, VWp = ctx.density.dims
+        VD, VHp, VWp = vol_dims
         VH, VW = VHp - 1, VWp - 1
     else:
-        VDp, VHp, VWp = ctx.density.dims
+        VDp, VHp, VWp = vol_dims
         VD, VH, VW = VDp - 1, VHp - 1, VWp - 1
 
     ld = ctx.light_direction
@@ -359,8 +368,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
 
     want_tf = "material_tf" in wrt or "light_spectrum" in wrt
     want_vol = "density" in wrt
-    n_vol_rows = ctx.density.n_rows
-    vwidth = ctx.density.width
+    n_vol_rows = int(np.prod(vol_dims))
+    vwidth = 4 if xy_packed else 8
 
     # ---- pass 1: forward, taping everything the reverse scatters need ----
     def fwd_body(carry, _):
@@ -593,7 +602,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         else:
             _, vjp_vol = jax.vjp(interp.pack_volume_corners_jnp,
                                  jnp.zeros((VD, VH, VW), jnp.float32))
-        (grads["density"],) = vjp_vol(acc["g_vol"].reshape(ctx.density.shape4))
+        (grads["density"],) = vjp_vol(
+            acc["g_vol"].reshape(tuple(vol_dims) + (vwidth,)))
 
     image = M.radiance_to_rgb(state_out.radiance, ctx.bin_xyz)
     return state_out, image, grads
@@ -617,7 +627,8 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
     ``scatter_stride`` enables stochastic gradient thinning (packed path
     only; see spectral_backward_packed)."""
     wrt = frozenset(wrt)
-    packed_vol = isinstance(ctx.density, interp.PackedVolume)
+    packed_vol = (isinstance(ctx.density, interp.PackedVolume)
+                  or ctx.density.ndim == 4)
     if ctx.material_tf.shape[-1] == 18 and packed_vol:
         return spectral_backward_packed(state0, ctx, g_image, steps, n_bins,
                                         volume_filter, wrt=wrt,
@@ -630,5 +641,5 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
         "prb_render_and_grads needs either a fully raw ctx (pack_tables=False) "
         "or the standard packed ctx (fused 18-wide TF + packed volume); got "
         f"material_tf {ctx.material_tf.shape}, density "
-        f"{ctx.density.shape4 if packed_vol else ctx.density.shape}"
+        f"{ctx.density.shape4 if isinstance(ctx.density, interp.PackedVolume) else ctx.density.shape}"
     )

@@ -230,7 +230,7 @@ class MCMRenderer:
         density = volume.density
         tf_table = self.tf2d.rasterize()
         if pack_tables and volume.filter in ("linear", "quasicubic"):
-            density = interp.PackedVolume.pack(density, "full")
+            density = interp.pack_volume_auto(density, "full")
             tf_table = interp.pack_tex2d_corners(tf_table)
         cfg = self.config
         self._static_ctx = dict(

@@ -592,11 +592,11 @@ class MCMSpectralRenderer:
             # lays out big 4-D tables planes-major, which would split every
             # corner row across memory (the "layout wall", ARCHITECTURE.md)
             if "density" in pack_tables:
-                density = interp.PackedVolume.pack(density, "full")
+                density = interp.pack_volume_auto(density, "full")
             elif "density_xy" in pack_tables:
                 # 4x-memory half packing: 2 gathers/step instead of 8 —
                 # the mode for volumes whose 8x table exceeds HBM
-                density = interp.PackedVolume.pack(density, "xy")
+                density = interp.pack_volume_auto(density, "xy")
             if "material_tf" in pack_tables and "light_spectrum" in pack_tables:
                 # fused (257,257,18) table: the light's packed pair rides the
                 # TF gather (shared x coordinate) — the per-step light lookup

@@ -86,6 +86,33 @@ class PackedVolume:
         )
 
 
+# Measured crossover (one v5e chip, 512^2 x 4-stream spectral dispatch):
+# the 4-D planes-major layout gathers ~74 Mpaths/s at 68 MB but degrades
+# with table size (29 at 134 MB, 25 at 230 MB, 16 at 544 MB, ~6 at 2.1 GB);
+# the flat (rows, C) layout is size-INDEPENDENT at ~37 Mpaths/s. Keep 4-D
+# below ~100 MB, go flat above.
+FLAT_TABLE_THRESHOLD_BYTES = 100_000_000
+
+
+def pack_volume_auto(density, kind: str = "full",
+                     flat_threshold_bytes: int = FLAT_TABLE_THRESHOLD_BYTES):
+    """Pack a raw (D, H, W) grid choosing the fastest device representation
+    by table size: the natural 4-D array while small (XLA's planes-major
+    layout maps the corner dim onto sublanes — the fastest gather), a flat
+    PackedVolume once large (the 4-D layout collapses at scale — see
+    PackedVolume's docstring / ARCHITECTURE.md "the layout wall")."""
+    import numpy as np
+
+    packed = (pack_volume_corners_xy if kind == "xy"
+              else pack_volume_corners)(density)
+    if packed.nbytes >= flat_threshold_bytes:
+        return PackedVolume(
+            jnp.asarray(packed.reshape(-1, packed.shape[-1])),
+            packed.shape[:3], kind,
+        )
+    return jnp.asarray(packed)
+
+
 def _coords(u, n):
     """Normalized coord -> (lo index, hi index, frac) with clamp-to-edge."""
     t = u * n - 0.5

@@ -63,6 +63,51 @@ class BytesLoader(AbstractLoader):
         return self.data[start:end]
 
 
+class HTTPLoader(AbstractLoader):
+    """HTTP byte-range loader (the AjaxLoader analog).
+
+    Parity: /root/reference/src/js/loaders/AjaxLoader.js:20-26 — a HEAD
+    request for Content-Length, then partial reads via the Range header
+    (`bytes=start-end`, end inclusive like the reference's `end - 1`).
+    The reference ships bin/server-node with Range support for exactly
+    this; any Range-capable static server works (tests use a stdlib
+    http.server fixture with a Range handler).
+    """
+
+    def __init__(self, url: str, timeout: float = 30.0):
+        self.url = url
+        self.timeout = timeout
+
+    def read_length(self) -> int:
+        import urllib.request
+
+        req = urllib.request.Request(self.url, method="HEAD")
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            length = resp.headers.get("Content-Length")
+            if length is None:
+                raise IOError(f"no Content-Length from {self.url}")
+            return int(length)
+
+    def read_data(self, start: int, end: int) -> bytes:
+        import urllib.request
+
+        if end <= start:
+            return b""
+        req = urllib.request.Request(
+            self.url, headers={"Range": f"bytes={start}-{end - 1}"}
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+            data = resp.read()
+        if resp.status == 200 and len(data) > end - start:
+            # server ignored Range and sent the whole entity — slice locally
+            return data[start:end]
+        if len(data) != end - start:
+            raise IOError(
+                f"range read [{start},{end}) returned {len(data)} bytes"
+            )
+        return data
+
+
 # --------------------------------------------------------------------------
 # Readers: formats
 # --------------------------------------------------------------------------
