@@ -40,12 +40,25 @@ def _renderer(majorant_blocks=None, seed_scene=None):
     )
 
 
-def test_majorant_bounds_alpha_within_range():
+@pytest.mark.parametrize("size,spike", [(32, None), (33, (26, 30, 14)),
+                                        (37, (36, 0, 20))])
+def test_majorant_bounds_alpha_within_range(size, spike):
     """For random points x and probes y with |y-x| <= range(cell(x)), the
-    stored majorant must bound the actually-sampled TF alpha at y."""
-    vol = Volume.sphere_in_cube(32)
+    stored majorant must bound the actually-sampled TF alpha at y.
+
+    Non-divisible sizes (33, 37 with block=4) pin the normalized-space cell
+    windows: the old block-slab windows were misaligned with the kernel's
+    floor(p*G) cells, and a density spike near the high end of an axis
+    (z-voxel 26 of 33 was the reproducer) escaped its cell's window —
+    the stored majorant read 0 while the spike was reachable within the
+    flight cap, a silent delta-tracking bias."""
+    vol = Volume.sphere_in_cube(size)
+    density = np.asarray(vol.density)
+    if spike is not None:  # adversarial spike at the given (z, y, x) voxel
+        density = density.copy()
+        density[spike] = 1.0
     tf = _ramp_tf()
-    grid = build_majorant_grid(vol.density, tf, EXT, block=4)
+    grid = build_majorant_grid(density, tf, EXT, block=4)
     G = grid.shape[0]
 
     rng = np.random.default_rng(0)
@@ -63,7 +76,7 @@ def test_majorant_bounds_alpha_within_range():
 
     dens = np.asarray(
         interp.sample_volume(
-            jnp.asarray(vol.density),
+            jnp.asarray(density),
             jnp.asarray(y[:, 0]), jnp.asarray(y[:, 1]), jnp.asarray(y[:, 2]),
             "linear",
         )
@@ -75,6 +88,25 @@ def test_majorant_bounds_alpha_within_range():
     assert np.all(m >= alpha - 1e-6), (
         f"majorant violated: worst slack {np.min(m - alpha)}"
     )
+
+    if spike is not None:
+        # deterministic reproducer of the pre-fix bias: every cell whose
+        # validity sphere can reach the spike's voxel center must store a
+        # majorant >= the alpha there (the spike density is 1.0 -> alpha 1.0)
+        n = size
+        ps = (np.array([spike[2], spike[1], spike[0]]) + 0.5) / n  # (u, v, w)
+        cz, cy, cx = np.meshgrid(*[np.arange(G)] * 3, indexing="ij")
+        lo = np.stack([cx, cy, cz], axis=-1) / G  # cell box in (u, v, w)
+        hi = (np.stack([cx, cy, cz], axis=-1) + 1) / G
+        nearest = np.clip(ps, lo, hi)
+        dist = np.linalg.norm(nearest - ps, axis=-1)
+        reach = dist < grid[..., 1] - 1e-6
+        alpha_at_spike = tf[-1, :, 1].max()
+        bad = reach & (grid[..., 0] < alpha_at_spike - 1e-5)
+        assert not bad.any(), (
+            f"{bad.sum()} cells can reach the spike within their flight cap "
+            f"but store a majorant below its alpha"
+        )
 
 
 def test_majorant_grid_shapes_and_ranges():

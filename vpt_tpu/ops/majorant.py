@@ -50,26 +50,61 @@ from __future__ import annotations
 import numpy as np
 
 
-def _cell_window_reduce(a: np.ndarray, block: int, fn) -> np.ndarray:
-    """Per-axis windowed reduce with a 1-element overlap on each side.
+def _interval_reduce_axis(a: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                          fn, axis: int) -> np.ndarray:
+    """Windowed reduce over arbitrary (possibly overlapping, unequal-width)
+    inclusive index intervals [lo[c], hi[c]] along ``axis`` — a vectorized
+    sparse (power-of-two doubling) table, O(n log n) host-side.
+    ``fn``: binary elementwise reduce (np.minimum / np.maximum)."""
+    a = np.moveaxis(a, axis, -1)
+    n = a.shape[-1]
+    levels = [a]
+    k = 1
+    while (1 << k) <= n:
+        half = 1 << (k - 1)
+        prev = levels[-1]
+        levels.append(fn(prev[..., : prev.shape[-1] - half], prev[..., half:]))
+        k += 1
+    length = hi - lo + 1
+    ks = np.maximum(np.frexp(length.astype(np.float64))[1] - 1, 0)
+    out = np.empty(a.shape[:-1] + (len(lo),), a.dtype)
+    for kk in np.unique(ks):
+        sel = np.where(ks == kk)[0]
+        lvl = levels[int(kk)]
+        out[..., sel] = fn(lvl[..., lo[sel]], lvl[..., hi[sel] - (1 << int(kk)) + 1])
+    return np.moveaxis(out, -1, axis)
 
-    Cell c along an axis covers elements [c*block - 1, (c+1)*block]
-    (inclusive) — the +-1 border makes the window cover every voxel a
-    trilinear footprint inside the cell can touch. Edge padding mirrors
-    clamp-to-edge sampling semantics. Separable: applying this per axis
-    reduces over the full 3-D box.
+
+def _cell_window_reduce(a: np.ndarray, block: int, fn) -> np.ndarray:
+    """Per-cell reduce over exactly the voxels any filtered sample inside the
+    cell can touch — with cells defined in NORMALIZED space, matching the
+    kernel's ``floor(p * G)`` indexing (mcm_spectral._render_body).
+
+    G = ceil(n / block) cells per axis; cell c covers normalized
+    [c/G, (c+1)/G]. A sample at normalized t touches voxels
+    floor(t*n - 0.5) and +1 (clamped), so the cell's voxel window is
+    [floor((c/G)*n - 0.5), floor(((c+1)/G)*n - 0.5) + 1] clamped to
+    [0, n-1]. When n is divisible by ``block`` this reduces to the
+    block-slab-with-1-voxel-border window; when it is NOT divisible the
+    old slab windows were misaligned with the kernel's uniform 1/G cells
+    and the stored majorant could undercount reachable density — a silent
+    bias (delta-tracking accepts clamp alpha/m into [0,1]). Boundaries are
+    widened by an epsilon so float32 cell assignment in the kernel can
+    never land a sample outside its builder window.
+
+    ``fn``: np.minimum or np.maximum. Separable per axis.
     """
+    eps = 1e-6
     out = a
     for axis in range(a.ndim):
-        n = out.shape[axis]
+        n = a.shape[axis]
         G = -(-n // block)
-        pad = [(0, 0)] * out.ndim
-        pad[axis] = (1, 1 + G * block - n)
-        p = np.pad(out, pad, mode="edge")
-        win = np.lib.stride_tricks.sliding_window_view(p, block + 2, axis=axis)
-        sl = [slice(None)] * win.ndim
-        sl[axis] = slice(0, G * block, block)
-        out = fn(win[tuple(sl)], axis=-1)
+        c = np.arange(G, dtype=np.float64)
+        lo = np.floor((c / G - eps) * n - 0.5).astype(np.int64)
+        hi = np.floor(((c + 1) / G + eps) * n - 0.5).astype(np.int64) + 1
+        lo = np.clip(lo, 0, n - 1)
+        hi = np.clip(hi, 0, n - 1)
+        out = _interval_reduce_axis(out, lo, hi, fn, axis)
     return out
 
 
@@ -141,8 +176,8 @@ def build_majorant_grid(
     """
     d = np.asarray(density, np.float32)
     tf = np.asarray(tf_table, np.float32)
-    dmin = _cell_window_reduce(d, block, np.min)
-    dmax = _cell_window_reduce(d, block, np.max)
+    dmin = _cell_window_reduce(d, block, np.minimum)
+    dmax = _cell_window_reduce(d, block, np.maximum)
 
     # density interval -> touched TF rows (sample at s = d*H - 0.5 touches
     # rows floor(s) and floor(s)+1, clamped) -> alpha bound per cell
