@@ -299,3 +299,46 @@ def test_zero_support_alpha_is_one_sided(spectral_ctx):
     assert abs(ad) > 2.0 * abs(fd) + 4 * se, (
         f"expected documented divergence, got FD {fd:.2f}±{se:.2f} vs AD {ad:.2f}"
     )
+
+
+def test_environment_texel_gradients_match_fd_exactly():
+    """Env-map escape gradients (packed PRB): the image is LINEAR in env
+    texel values (deposits scale the equirect lookup; no event probability
+    depends on env), so central FD with common random numbers equals the
+    directional derivative to float rounding — per seed, no statistics."""
+    from vpt_tpu.ops import interp
+
+    vol = Volume.sphere_in_cube(8)
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.7
+    table[..., 1] = 0.1 + 0.8 * dens
+    table[..., 2] = 0.6
+    rng = np.random.default_rng(5)
+    env = rng.uniform(0.2, 1.0, (6, 12, 3)).astype(np.float32)
+    r = M.MCMSpectralRenderer(
+        Volume(density=np.asarray(vol.density)), MaterialTF(table),
+        LightConfig(direction=(0.0, 0.0, 0.0)), SpectrumConfig(),
+        MCMSpectralConfig(extinction=4.0, bounces=3, steps=16),
+        resolution=RES, pack_tables=True, environment=env)
+    cam = Camera()
+    direction = rng.normal(size=env.shape).astype(np.float32)
+
+    for seed in (3, 41):
+        ctx = r.ctx(cam, seed)
+        s0 = r.reset(cam, seed)
+        g_img = jnp.ones((RES, RES, 3))
+        _, _, g = prb_render_and_grads(
+            s0, ctx, g_img, 16, NBINS, wrt=frozenset({"environment"}))
+        got = float(np.sum(np.asarray(g["environment"]) * direction))
+
+        def f(e):
+            c = ctx._replace(environment=jnp.asarray(
+                interp.pack_tex2d_corners(e)))
+            _, img = M.render(r.reset(cam, seed), c, steps=16, n_bins=NBINS)
+            return float(jnp.sum(img))
+
+        eps = 0.25
+        fd = (f(env + eps * direction) - f(env - eps * direction)) / (2 * eps)
+        assert abs(got - fd) <= 1e-3 * max(abs(fd), 1.0), (got, fd, seed)
+        assert abs(fd) > 1e-6

@@ -132,3 +132,41 @@ def test_mcs_frame_average(scene):
     assert int(state["frame"]) == 1
     state, _ = r.render(state, cam, 2)
     assert int(state["frame"]) == 2
+
+
+def test_mcs_render_many_matches_sequential(scene):
+    """mcs_frames (scan-batched) matches sequential render to float
+    rounding (XLA fuses the running average differently inside the scan)."""
+    vol, cam = scene
+    r = make_renderer("mcs", vol, _tf(), None, extinction=20.0, resolution=RES)
+    seeds = [3, 71, 9001, 44]
+    state_a = r.reset(cam)
+    for s in seeds:
+        state_a, img_a = r.render(state_a, cam, s)
+    state_b = r.reset(cam)
+    state_b, img_b = r.render_many(state_b, cam, seeds)
+    np.testing.assert_allclose(np.asarray(img_a), np.asarray(img_b), atol=1e-6)
+    assert int(state_b["frame"]) == len(seeds)
+
+
+def test_mcs_majorant_statistical_parity(scene):
+    """Majorant-informed MCS converges to the same image as the exact
+    global-rate path (different sample paths, same estimand), judged
+    against the exact path's own seed-to-seed noise floor."""
+    vol, cam = scene
+
+    def converged(maj, seed):
+        r = make_renderer("mcs", vol, _tf(), None, extinction=20.0,
+                          resolution=RES, majorant_blocks=maj)
+        state = r.reset(cam)
+        seeds = [(seed + k + 1) * 2654435761 % 2**32 for k in range(160)]
+        state, img = r.render_many(state, cam, seeds)
+        return np.asarray(img)
+
+    a = converged(None, 1)
+    b = converged(None, 991)  # noise-floor pair
+    m = converged(4, 1)
+    floor = np.abs(a - b).mean()
+    diff = np.abs(a - m).mean()
+    assert np.isfinite(m).all()
+    assert diff < 2.0 * floor + 1e-4, (diff, floor)

@@ -140,3 +140,254 @@ def test_rejects_half_packed_ctx():
     s0 = r.reset(cam, 1)
     with pytest.raises(ValueError, match="packed"):
         prb_render_and_grads(s0, ctx, jnp.ones((RES, RES, 3)), STEPS, 12)
+
+
+def test_many_matches_sequential_dispatches():
+    """prb_render_and_grads_many (scan-batched) == K sequential
+    prb_render_and_grads calls with summed grads, bit-for-bit (stride 1,
+    per-dispatch m_final)."""
+    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
+
+    _, packed = _renderers(Volume.sphere_in_cube(16), streams=2)
+    g_img = jnp.ones((RES, RES, 3))
+    cam = Camera()
+    seeds = [11, 5021, 90001]
+    wrt = frozenset({"density", "extinction"})
+
+    state = packed.reset(cam, 3)
+    want = None
+    for s in seeds:
+        state, _, g = prb_render_and_grads(
+            state, packed.ctx(cam, s), g_img, STEPS, 12, wrt=wrt)
+        want = g if want is None else {
+            k: want[k] + g[k] for k in want}
+    img_seq = np.asarray(M.radiance_to_rgb(state.radiance,
+                                           packed.ctx(cam, 0).bin_xyz))
+
+    s0 = packed.reset(cam, 3)
+    state_m, img_m, got = prb_render_and_grads_many(
+        s0, packed.ctx(cam, 0), jnp.asarray(seeds, jnp.uint32), g_img,
+        STEPS, 12, wrt=wrt)
+    np.testing.assert_array_equal(np.asarray(img_m), img_seq)
+    for k in wrt:
+        a, b = np.asarray(want[k]), np.asarray(got[k])
+        scale = max(np.abs(a).max(), 1e-6)
+        # scan accumulates adjoints into the carry; sequential sums whole
+        # per-dispatch grads — same values, different float association
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5,
+                                   err_msg=k)
+
+
+def test_loss_and_grads_matches_manual_composition():
+    """prb_loss_and_grads == render_many-derived (m_final, image, g_image)
+    fed through spectral_backward_packed sequentially."""
+    from vpt_tpu.kernels.spectral_backward import (
+        prb_loss_and_grads, spectral_backward_packed)
+
+    _, packed = _renderers(Volume.sphere_in_cube(16))
+    cam = Camera()
+    seeds = jnp.asarray([3, 77, 901, 40009], jnp.uint32)
+    target = jnp.full((RES, RES, 3), 0.25)
+    wrt = frozenset({"density"})
+
+    s0 = packed.reset(cam, 1)
+    ctx = packed.ctx(cam, 1)
+    state_f, image = M.render_many(packed.reset(cam, 1), ctx, seeds,
+                                   steps=STEPS, n_bins=12)
+    m_final = jnp.maximum(state_f.samples, 1).astype(jnp.float32)
+    g_image = 2.0 * (image - target) / jnp.float32(image.size)
+    want = None
+    state = packed.reset(cam, 1)
+    for s in np.asarray(seeds):
+        state, _, g = spectral_backward_packed(
+            state, ctx._replace(seed_bits=jnp.uint32(s)), g_image, STEPS, 12,
+            wrt=wrt, m_final=m_final)
+        want = g if want is None else {k: want[k] + g[k] for k in want}
+
+    _, img2, loss, got = prb_loss_and_grads(
+        packed.reset(cam, 1), ctx, seeds, target, STEPS, 12, wrt=wrt)
+    np.testing.assert_array_equal(np.asarray(img2), np.asarray(image))
+    assert float(loss) == pytest.approx(float(jnp.mean((image - target) ** 2)))
+    a, b = np.asarray(want["density"]), np.asarray(got["density"])
+    scale = max(np.abs(a).max(), 1e-6)
+    np.testing.assert_allclose(a / scale, b / scale, atol=1e-6)
+
+
+def test_fit_spectral_prb_recovers_alpha():
+    """End-to-end config-4 shape on the PRB fast path: recover a TF alpha
+    from a packed-tables renderer (the default method auto-selects prb)."""
+    from vpt_tpu.optim import fit_spectral
+    from vpt_tpu.utils.config import MaterialTF as MTF
+
+    def renderer(alpha):
+        vol = Volume(density=np.full((4, 4, 4), 0.5, np.float32))
+        mat = MTF.constant(albedo=0.0, alpha=alpha)
+        light = LightConfig(direction=(0.0, 0.0, 0.0))
+        cfg = MCMSpectralConfig(extinction=2.0, bounces=0, steps=8)
+        return M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                     resolution=RES, pack_tables=True)
+
+    true_alpha = 0.6
+    r = renderer(true_alpha)
+    cam = Camera()
+    state = r.reset(cam, 5)
+    seeds = [np.uint32((5 + k + 1) * 2654435761 % 2**32) for k in range(64)]
+    state, target = r.render_many(state, cam, seeds)
+
+    r2 = renderer(0.2)
+    params, losses = fit_spectral(
+        np.asarray(target), r2, cam,
+        {"material_tf": r2.material_tf.table.copy()},
+        dispatches_per_step=6, iterations=120, learning_rate=0.05, seed=11,
+        scatter_stride=2,
+    )
+    mt = np.asarray(params["material_tf"])
+    rec_alpha = float(mt[127:129, :, 1].mean())
+    untouched = float(mt[0:100, :, 1].mean())
+    assert losses[-1] < losses[0], f"loss did not drop: {losses[0]} -> {losses[-1]}"
+    assert rec_alpha > 0.4, f"alpha barely moved: {rec_alpha}"
+    assert abs(rec_alpha - true_alpha) < abs(0.2 - true_alpha)
+    assert untouched == pytest.approx(0.2, abs=1e-5)
+
+
+@pytest.mark.parametrize("filt", ["linear", "quasicubic"])
+def test_packed_matches_raw_across_filters(filt):
+    """Filter x gradient matrix: the packed backward supports the
+    smoothstep-warped quasicubic filter (corner cotangents = warped
+    weights; quasiCubicSampling.glsl:3-9) and matches the raw replay
+    backward per seed."""
+    from vpt_tpu.scene.volume import Volume as V
+
+    vol = V(density=np.asarray(V.sphere_in_cube(16).density), filter=filt)
+    raw, packed = _renderers(vol)
+    g_img = jnp.ones((RES, RES, 3))
+
+    def grads_of(r, seed):
+        cam = Camera()
+        ctx = r.ctx(cam, seed)
+        s0 = r.reset(cam, seed)
+        state, img, g = prb_render_and_grads(s0, ctx, g_img, STEPS, 12,
+                                             volume_filter=filt)
+        return np.asarray(img), {k: np.asarray(v) for k, v in g.items()}
+
+    img_r, g_r = grads_of(raw, 13)
+    img_p, g_p = grads_of(packed, 13)
+    np.testing.assert_array_equal(img_r, img_p)
+    for k in ("density", "material_tf", "extinction"):
+        a, b = g_r[k], g_p[k]
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-5,
+                                   err_msg=f"{filt}:{k}")
+        assert np.abs(a).sum() > 0
+
+
+@pytest.mark.parametrize("filt", ["linear", "quasicubic"])
+def test_packed_grad_matches_autodiff_per_seed_no_scatter(filt):
+    """With albedo = 0 and bounces = 0 there are no scatter events, so the
+    PRB and the autodiff-surrogate estimators coincide term-by-term (both
+    use score-form free flights and event scores; the HG pathwise-vs-score
+    divergence never fires) — density gradients must match PER SEED to
+    float tolerance. This pins the quasicubic corner-weight warp sharply:
+    an unwarped (linear) backward weight under a warped forward fails."""
+    import jax
+
+    from vpt_tpu.models.mcm_spectral import render_sequence_diff
+    from vpt_tpu.scene.volume import Volume as V
+
+    vol = V(density=np.asarray(V.sphere_in_cube(12).density), filter=filt)
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 1] = 0.1 + 0.8 * dens  # alpha ramp, albedo 0, g 0.5 -> 0
+    table[..., 2] = 0.5
+    mat = MaterialTF(table)
+    # isotropic light: with bounces=0 rays never turn, and a directional
+    # light behind the camera would zero every through-material deposit
+    # (leaving only clamp-dead-zone paths -> a correctly-zero density grad)
+    light = LightConfig(direction=(0.0, 0.0, 0.0))
+    cfg = MCMSpectralConfig(extinction=6.0, bounces=0, steps=STEPS)
+    raw = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                resolution=RES, pack_tables=False)
+    packed = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                   resolution=RES, pack_tables=True)
+    cam = Camera()
+    for seed in (4, 321):
+        ctx = packed.ctx(cam, seed)
+        s0 = packed.reset(cam, seed)
+        g_img = jnp.ones((RES, RES, 3))
+        _, _, g = prb_render_and_grads(s0, ctx, g_img, STEPS, 12,
+                                       volume_filter=filt,
+                                       wrt=frozenset({"density"}))
+        g_prb = np.asarray(g["density"])
+
+        rctx = raw.ctx(cam, seed)
+        rs0 = raw.reset(cam, seed)
+
+        def img_sum(d):
+            img = render_sequence_diff(
+                jnp.asarray([np.uint32(seed)], jnp.uint32), rs0,
+                rctx._replace(density=d), STEPS, 12, volume_filter=filt)
+            return jnp.sum(img)
+
+        g_ad = np.asarray(jax.grad(img_sum)(jnp.asarray(vol.density)))
+        scale = max(np.abs(g_ad).max(), 1e-6)
+        np.testing.assert_allclose(g_prb / scale, g_ad / scale, atol=5e-4,
+                                   err_msg=f"{filt} seed {seed}")
+        assert np.abs(g_ad).sum() > 0
+
+
+def test_environment_gradients_match_autodiff_per_seed():
+    """Differentiable environment escape (the reference's dormant env path,
+    MCMSpectralComputeRenderer.wgsl:49-60): pathwise texel gradients through
+    the equirect bilinear lookup. With albedo=0/bounces=0 the PRB and
+    autodiff estimators coincide per seed (no HG divergence), so both the
+    env and density gradients must match to float tolerance."""
+    import jax
+
+    from vpt_tpu.models.mcm_spectral import render_sequence_diff
+    from vpt_tpu.scene.volume import Volume as V
+
+    vol = V(density=np.asarray(V.sphere_in_cube(12).density))
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 1] = 0.1 + 0.6 * dens
+    table[..., 2] = 0.5
+    mat = MaterialTF(table)
+    light = LightConfig(direction=(0.0, 0.0, 0.0))
+    cfg = MCMSpectralConfig(extinction=6.0, bounces=0, steps=STEPS)
+    rng = np.random.default_rng(8)
+    env = rng.uniform(0.1, 1.0, (8, 16, 3)).astype(np.float32)
+
+    raw = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                resolution=RES, pack_tables=False,
+                                environment=env)
+    packed = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                   resolution=RES, pack_tables=True,
+                                   environment=env)
+    assert packed.ctx(Camera(), 0).environment.shape == (9, 17, 12)
+    cam = Camera()
+    for seed in (2, 77):
+        ctx = packed.ctx(cam, seed)
+        s0 = packed.reset(cam, seed)
+        g_img = jnp.ones((RES, RES, 3))
+        _, _, g = prb_render_and_grads(
+            s0, ctx, g_img, STEPS, 12,
+            wrt=frozenset({"environment", "density"}))
+        rctx = raw.ctx(cam, seed)
+        rs0 = raw.reset(cam, seed)
+
+        def img_sum(e, d):
+            img = render_sequence_diff(
+                jnp.asarray([np.uint32(seed)], jnp.uint32), rs0,
+                rctx._replace(environment=e, density=d), STEPS, 12)
+            return jnp.sum(img)
+
+        g_env_ad, g_d_ad = jax.grad(img_sum, argnums=(0, 1))(
+            jnp.asarray(env), jnp.asarray(vol.density))
+        for name, a, b in (("environment", np.asarray(g_env_ad),
+                            np.asarray(g["environment"])),
+                           ("density", np.asarray(g_d_ad),
+                            np.asarray(g["density"]))):
+            scale = max(np.abs(a).max(), 1e-6)
+            np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
+                                       err_msg=f"{name} seed {seed}")
+            assert np.abs(a).sum() > 0, name

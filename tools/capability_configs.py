@@ -78,21 +78,29 @@ def config2():
     )
 
     # -- aux: MCS (reference-exact single-scatter algorithm) ---------------
-    r2 = MCSRenderer(vol, extinction=50.0, resolution=512)
-    state = r2.reset(cam, 0)
-    state, img = r2.render(state, cam, 1)  # compile
-    _sync(img)
-    t0 = time.perf_counter()
-    for f in range(spp):
-        state, img = r2.render(state, cam, f + 2)
-    _sync(img)
-    dt = time.perf_counter() - t0
-    mdn = np.asarray(img)
-    out.update(
-        mcs_seconds=round(dt, 3),
-        mcs_mrays_per_s=round(spp * 512 * 512 / dt / 1e6, 2),
-        mcs_finite=bool(np.isfinite(mdn).all()),
-    )
+    # exact global-rate path AND the majorant-informed mode (statistically
+    # exact; collapses the straggler-lane while_loop trips — the r2 weakness
+    # was 0.48 Mrays/s with every frame gated on the slowest lane's
+    # ~extinction*path_length null-collision chain). Both scan-batched
+    # through render_many.
+    for label, maj in (("mcs", None), ("mcs_majorant", 8)):
+        r2 = MCSRenderer(vol, extinction=50.0, resolution=512,
+                         majorant_blocks=maj)
+        state = r2.reset(cam, 0)
+        state, img = r2.render_many(state, cam, [1])  # compile
+        _sync(img)
+        t0 = time.perf_counter()
+        state, img = r2.render_many(
+            state, cam, [(f + 2) * 2654435761 % 2**32 for f in range(spp)])
+        _sync(img)
+        dt = time.perf_counter() - t0
+        mdn = np.asarray(img)
+        out.update({
+            f"{label}_seconds": round(dt, 3),
+            f"{label}_mrays_per_s": round(spp * 512 * 512 / dt / 1e6, 2),
+            f"{label}_finite": bool(np.isfinite(mdn).all()),
+            f"{label}_mean": float(mdn.mean()),
+        })
     return out
 
 
@@ -137,29 +145,44 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
     out = {}
     if grads:
         # the canonical config-3 gradient path: hand-derived packed-adjoint
-        # backward (kernels/spectral_backward.prb_render_and_grads), density
-        # gradients only — the same estimator bench.py's headline measures
-        from vpt_tpu.kernels.spectral_backward import prb_render_and_grads
+        # backward, density-only, scan-batched (prb_render_and_grads_many).
+        # Measured at the exact estimator (stride 1) AND the production
+        # stride-4 thinned estimator (unbiased, ~4x fewer scatter indices;
+        # the optimizer-grade estimator per CONFIGS.md "stride convergence")
+        # — the split shows where the 256^3 (544 MB adjoint) scatter tier
+        # sits.
+        from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
 
         g_img = jnp.ones((resolution, resolution, 3), jnp.float32)
         wrt = frozenset({"density"})
-        st, img, g = prb_render_and_grads(state, ctx, g_img, steps, 12, wrt=wrt)
-        _sync(g["density"])
-        s0 = _sync(st.samples)
-        t0 = time.perf_counter()
-        n = max(2, spp // (steps * streams))
-        for k in range(n):
-            c = ctx._replace(seed_bits=jnp.uint32((k + 2) * 2654435761 % 2**32))
-            st, img, g = prb_render_and_grads(st, c, g_img, steps, 12, wrt=wrt)
-        _sync(g["density"])
-        dt = time.perf_counter() - t0
-        paths = _sync(st.samples) - s0
-        out.update(
-            grad_dispatches=n, grad_seconds=round(dt, 3),
-            grad_mpaths_per_s=round(paths / dt / 1e6, 2),
-            grad_finite=bool(np.isfinite(np.asarray(g["density"])).all()),
-            grad_norm=float(jnp.linalg.norm(g["density"])),
-        )
+        n = max(4, spp // (steps * streams))
+        for label, stride in (("grad_stride4", 4), ("grad", 1)):
+            st = renderer.reset(cam, 1)
+            seeds = jnp.asarray([2654435761 % 2**32], jnp.uint32)
+            st, img, g = prb_render_and_grads_many(
+                st, ctx, seeds, g_img, steps, 12, wrt=wrt,
+                scatter_stride=stride)
+            _sync(g["density"])
+            s0 = _sync(st.samples)
+            seeds = jnp.asarray(
+                [(k + 2) * 2654435761 % 2**32 for k in range(n)], jnp.uint32)
+            t0 = time.perf_counter()
+            st, img, g = prb_render_and_grads_many(
+                st, ctx, seeds, g_img, steps, 12, wrt=wrt,
+                scatter_stride=stride)
+            _sync(g["density"])
+            dt = time.perf_counter() - t0
+            paths = _sync(st.samples) - s0
+            out.update({
+                f"{label}_dispatches": n,
+                f"{label}_seconds": round(dt, 3),
+                f"{label}_mpaths_per_s": round(paths / dt / 1e6, 2),
+                f"{label}_finite":
+                    bool(np.isfinite(np.asarray(g["density"])).all()),
+                f"{label}_norm": float(jnp.linalg.norm(g["density"])),
+            })
+        out["grad_dispatches"] = n
+        out["grad_mpaths_per_s"] = out["grad_stride4_mpaths_per_s"]
         return out
 
     batch = 16
@@ -206,6 +229,69 @@ def config5():
                 **fwd)
 
 
+def config_sparse():
+    """The majorant mode's capability scene (VERDICT r2 #4): 512^3 at ~1%
+    occupancy — a few small dense spheres in empty space. In this regime
+    paths delta-track their way across near-empty space at the global rate
+    (steps-per-path ~ extinction * path length), so the per-cell
+    (majorant, validity-range) table (ops/majorant) should win big; on the
+    dense bench scenes it is a measured net loss (ARCHITECTURE.md) and the
+    exact path stays the default."""
+    import jax.numpy as jnp
+
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    table[..., 2] = 0.5
+    vol = Volume.sparse_spheres(512)
+    occupancy = float((np.asarray(vol.density) > 0).mean())
+
+    out = dict(config="sparse",
+               desc="512^3 sparse scene (~{:.2%} occupancy) 512^2, "
+                    "exact vs super-voxel majorant".format(occupancy))
+    imgs = {}
+    for label, maj in (("exact", None), ("majorant", 8)):
+        r = M.MCMSpectralRenderer(
+            vol, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
+            SpectrumConfig(),
+            MCMSpectralConfig(extinction=40.0, bounces=8, steps=8),
+            resolution=512, streams=4,
+            pack_tables={"density_xy", "material_tf", "light_spectrum"},
+            majorant_blocks=maj,
+        )
+        cam = Camera()
+        ctx = r.ctx(cam, 1)
+        state = r.reset(cam, 1)
+        batch = 16
+        seeds = lambda lo: jnp.asarray(
+            [(lo + k) * 2654435761 % 2**32 for k in range(batch)], jnp.uint32)
+        state, img = M.render_many(state, ctx, seeds(0), steps=8, n_bins=12)
+        s0 = _sync(state.samples)
+        t0 = time.perf_counter()
+        for rr in range(3):
+            state, img = M.render_many(state, ctx, seeds((rr + 1) * batch),
+                                       steps=8, n_bins=12)
+        paths = _sync(state.samples) - s0
+        dt = time.perf_counter() - t0
+        imgs[label] = np.asarray(img)
+        out[f"{label}_mpaths_per_s"] = round(paths / dt / 1e6, 2)
+        out[f"{label}_finite"] = bool(np.isfinite(imgs[label]).all())
+    out["speedup"] = round(out["majorant_mpaths_per_s"]
+                           / max(out["exact_mpaths_per_s"], 1e-9), 2)
+    out["image_mean_rel_diff"] = float(
+        abs(imgs["exact"].mean() - imgs["majorant"].mean())
+        / max(imgs["exact"].mean(), 1e-9))
+    return out
+
+
 def scaling_virtual8():
     """Run the scaling harness (weak-scaling sweep + collective
     microbenchmark, parallel/scaling.py) on the virtual 8-device CPU mesh
@@ -243,7 +329,7 @@ def main():
 
     rows = []
     for n, fn in ((2, config2), (3, config3), (5, config5),
-                  ("scaling", scaling_virtual8)):
+                  ("sparse", config_sparse), ("scaling", scaling_virtual8)):
         if n in args.skip:
             continue
         print(f"running config {n}...", file=sys.stderr)

@@ -1,0 +1,188 @@
+"""Config-4 convergence evidence: loss vs WALL-CLOCK for the spectral
+inverse-rendering step across gradient estimators.
+
+Curves (same scene, same targets, same seed sequence, density-only):
+  - autodiff   : REINFORCE-surrogate autodiff (optim.make_spectral_inverse_step)
+  - prb-s1/2/4 : hand-derived packed-adjoint PRB (optim.make_spectral_prb_step)
+                 at scatter_stride 1 / 2 / 4
+
+The decisive metric is parameter-space error ||density - true||^2 (noise-free,
+estimator-independent) against cumulative optimizer wall-clock. The training
+loss (window MSE) is recorded alongside. Results go to
+tools/convergence_stride.json and the summary table into CONFIGS.md's
+"stride convergence" section (hand-pasted).
+
+Rationale (ARCHITECTURE.md "the scatter wall"): the backward is pinned by
+per-index scatter-add cost; scatter_stride=k thins table scatters k-fold —
+an unbiased estimator with ~k x table-grad variance. Gradient noise is
+already Monte-Carlo dominated, so the variance is expected to be free and
+the wall-clock win real. This script is the measurement.
+
+Run: python tools/convergence_stride.py [--res 256] [--iters 60]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def _scene(resolution, volume_density, steps, streams):
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    table[..., 2] = 0.5
+    return M.MCMSpectralRenderer(
+        Volume(density=volume_density),
+        MaterialTF(table),
+        LightConfig(direction=(1.0, 0.2, 0.5)),
+        SpectrumConfig(),
+        MCMSpectralConfig(extinction=40.0, bounces=8, steps=steps),
+        resolution=resolution,
+        streams=streams,
+    )
+
+
+def _smoothed(density, factor=8):
+    """Blockwise-mean downsample + nearest upsample: a heavily smoothed
+    init that preserves gross structure (the recovery task)."""
+    d = np.asarray(density, np.float32)
+    n = d.shape[0]
+    c = d.reshape(n // factor, factor, n // factor, factor,
+                  n // factor, factor).mean(axis=(1, 3, 5))
+    up = np.repeat(np.repeat(np.repeat(c, factor, 0), factor, 1), factor, 2)
+    return np.ascontiguousarray(up, np.float32)
+
+
+def run_curve(kind, stride, true_density, init_density, target, resolution,
+              steps, streams, iterations, dispatches_per_step, lr, seed):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from vpt_tpu import optim
+    from vpt_tpu.scene.camera import Camera
+
+    renderer = _scene(resolution, init_density, steps, streams)
+    cam = Camera()
+    base_ctx = renderer.ctx(cam, seed)
+    state0 = renderer.reset(cam, seed)
+    n_bins = renderer.spectrum.n_bins
+
+    params = {"density": jnp.asarray(init_density)}
+    optimizer = optax.adam(lr)
+    if kind == "autodiff":
+        step = optim.make_spectral_inverse_step(optimizer, steps, n_bins)
+    else:
+        step = optim.make_spectral_prb_step(
+            optimizer, steps, n_bins, wrt=frozenset({"density"}),
+            scatter_stride=stride)
+
+    def seeds_for(i):
+        return jnp.asarray(
+            [np.uint32((seed + 1 + i * dispatches_per_step + k)
+                       * 2654435761 % 2**32)
+             for k in range(dispatches_per_step)], jnp.uint32)
+
+    tgt = jnp.asarray(target)
+    # warm the compile outside the clock
+    warm = optim.InverseState(params, optimizer.init(params),
+                              jnp.zeros((), jnp.int32))
+    warm, wl = step(warm, state0, base_ctx, seeds_for(10**6), tgt)
+    float(wl)
+
+    istate = optim.InverseState(
+        {"density": jnp.asarray(init_density)},
+        optimizer.init({"density": jnp.asarray(init_density)}),
+        jnp.zeros((), jnp.int32))
+    times, train_loss, dens_mse = [], [], []
+    elapsed = 0.0
+    for i in range(iterations):
+        t0 = time.perf_counter()
+        istate, loss = step(istate, state0, base_ctx, seeds_for(i), tgt)
+        lv = float(loss)  # sync
+        elapsed += time.perf_counter() - t0
+        times.append(round(elapsed, 4))
+        train_loss.append(lv)
+        # metric fetch OFF the clock
+        d = np.asarray(istate.params["density"])
+        dens_mse.append(float(np.mean((d - true_density) ** 2)))
+    return dict(method=kind if kind == "autodiff" else f"prb-s{stride}",
+                times=times, train_loss=train_loss, density_mse=dens_mse)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=256)
+    ap.add_argument("--volume", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=60)
+    ap.add_argument("--dispatches", type=int, default=8)
+    ap.add_argument("--streams", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--target-dispatches", type=int, default=256)
+    ap.add_argument("--out", default="tools/convergence_stride.json")
+    args = ap.parse_args()
+
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+
+    true_density = np.asarray(Volume.sphere_in_cube(args.volume).density,
+                              np.float32)
+    init_density = _smoothed(true_density)
+
+    # converged target render of the TRUE scene
+    renderer = _scene(args.res, true_density, args.steps, args.streams)
+    cam = Camera()
+    state = renderer.reset(cam, 999)
+    tseeds = [(999 + k + 1) * 2654435761 % 2**32
+              for k in range(args.target_dispatches)]
+    state, target = renderer.render_many(state, cam, tseeds)
+    target = np.asarray(target)
+    print(f"# target: {args.target_dispatches} dispatches, "
+          f"mean {target.mean():.4f}")
+
+    init_mse = float(np.mean((init_density - true_density) ** 2))
+    print(f"# init density MSE {init_mse:.6f}")
+
+    rows = []
+    for kind, stride in (("autodiff", 0), ("prb", 1), ("prb", 2), ("prb", 4)):
+        r = run_curve(kind, stride, true_density, init_density, target,
+                      args.res, args.steps, args.streams, args.iters,
+                      args.dispatches, args.lr, seed=7)
+        r["init_density_mse"] = init_mse
+        rows.append(r)
+        print(f"# {r['method']}: {r['times'][-1]:.1f}s, "
+              f"density MSE {init_mse:.5f} -> {r['density_mse'][-1]:.5f}, "
+              f"train loss {r['train_loss'][0]:.5f} -> "
+              f"{r['train_loss'][-1]:.5f}")
+
+    with open(args.out, "w") as f:
+        json.dump(dict(
+            config=dict(res=args.res, volume=args.volume, iters=args.iters,
+                        dispatches=args.dispatches, streams=args.streams,
+                        steps=args.steps, lr=args.lr),
+            curves=rows), f)
+    print(f"wrote {args.out}")
+
+    # time-to-threshold summary (the decisive numbers)
+    for frac in (0.5, 0.25, 0.1):
+        thresh = init_mse * frac
+        line = [f"density-MSE <= {frac:.2f}x init:"]
+        for r in rows:
+            hit = next((t for t, m in zip(r["times"], r["density_mse"])
+                        if m <= thresh), None)
+            line.append(f"{r['method']}={'%.1fs' % hit if hit else 'never'}")
+        print("  ".join(line))
+
+
+if __name__ == "__main__":
+    main()

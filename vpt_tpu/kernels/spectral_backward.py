@@ -75,7 +75,7 @@ def _bilinear_corners(u, v, H, W):
     return (y0, y1, x0, x1), (w00, w01, w10, w11), (fx, fy)
 
 
-def _trilinear_corners(u, v, w, D, H, W):
+def _trilinear_corners(u, v, w, D, H, W, volume_filter="linear"):
     def coords(t, n):
         s = t * n - 0.5
         base = jnp.floor(s).astype(jnp.int32)
@@ -85,6 +85,14 @@ def _trilinear_corners(u, v, w, D, H, W):
     x0, x1, fx = coords(u, W)
     y0, y1, fy = coords(v, H)
     z0, z1, fz = coords(w, D)
+    if volume_filter == "quasicubic":
+        # d(sample)/d(corner) under the smoothstep warp is the WARPED
+        # weight (positions are detached in the replay backward, so the
+        # 6f(1-f) position-chain factor never appears) — matches
+        # interp.sample_volume's forward warp exactly
+        fx = fx * fx * (3.0 - 2.0 * fx)
+        fy = fy * fy * (3.0 - 2.0 * fy)
+        fz = fz * fz * (3.0 - 2.0 * fz)
     idx = []
     wts = []
     for zi, wz in ((z0, 1 - fz), (z1, fz)):
@@ -119,6 +127,9 @@ def spectral_backward(state0, ctx, g_image, steps: int, n_bins: int,
     of ``radiance_to_rgb(dispatch(state0, ctx))`` contracted with
     ``g_image`` ((H, W, 3)).
     """
+    assert ctx.environment is None, (
+        "the raw replay backward does not support environment maps; use the "
+        "packed path (pack_tables=True), which carries env-texel gradients")
     resolution = state0.px.shape[-1]
     streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
     ix, iy, seed_iy = M._pixel_grid(resolution, streams)
@@ -250,7 +261,7 @@ def spectral_backward(state0, ctx, g_image, steps: int, n_bins: int,
             + grad_graw * _tf_row_slope(ctx.material_tf, t_lam, dens, 2)
         )
         u, v, w = it["sample_pos"]
-        v_idx, v_wts = _trilinear_corners(u, v, w, D, H, W)
+        v_idx, v_wts = _trilinear_corners(u, v, w, D, H, W, volume_filter)
         g_dens = g_dens.at[jnp.concatenate([i.reshape(-1) for i in v_idx])].add(
             jnp.concatenate([(grad_dens * wt).reshape(-1) for wt in v_wts])
         )
@@ -304,11 +315,86 @@ def _packed_base_frac(t, n):
     return jnp.clip(i0.astype(jnp.int32) + 1, 0, n), s - i0
 
 
+def _packed_vol_meta(ctx):
+    """(vol_dims, vol_kind) of the ctx's packed volume representation."""
+    if isinstance(ctx.density, interp.PackedVolume):
+        return ctx.density.dims, ctx.density.kind
+    assert ctx.density.ndim == 4, "packed backward needs a packed volume"
+    return ctx.density.shape[:3], ("xy" if ctx.density.shape[-1] == 4 else "full")
+
+
+def _packed_adj_init(ctx, wrt: frozenset):
+    """Zero packed-adjoint accumulators for the given ``wrt`` subset (the
+    scan carry of the multi-dispatch backward)."""
+    import numpy as np
+
+    adj = {}
+    if "extinction" in wrt:
+        adj["g_ext"] = jnp.float32(0.0)
+    if "material_tf" in wrt or "light_spectrum" in wrt:
+        Hp, Wp, CC = ctx.material_tf.shape
+        adj["g_tf"] = jnp.zeros((Hp * Wp, CC), jnp.float32)
+    if "density" in wrt:
+        vol_dims, vol_kind = _packed_vol_meta(ctx)
+        adj["g_vol"] = jnp.zeros(
+            (int(np.prod(vol_dims)), 4 if vol_kind == "xy" else 8), jnp.float32)
+    if "environment" in wrt and ctx.environment is not None:
+        HpE, WpE, _ = ctx.environment.shape
+        adj["g_env"] = jnp.zeros((HpE * WpE, 12), jnp.float32)
+    return adj
+
+
+def _contract_packed_adjoints(acc, ctx, wrt: frozenset):
+    """Packed adjoints -> gradients addressing the RAW tables, via the dense
+    transposes of the packers (jax.vjp of ops/interp.pack_*_jnp)."""
+    grads = {}
+    if "extinction" in wrt:
+        grads["extinction"] = acc["g_ext"]
+    if "material_tf" in wrt or "light_spectrum" in wrt:
+        Hp, Wp, CC = ctx.material_tf.shape
+        TH, TW = Hp - 1, Wp - 1
+        g_tf = acc["g_tf"].reshape(Hp, Wp, CC)
+        if "material_tf" in wrt:
+            _, vjp_tf = jax.vjp(interp.pack_tex2d_corners_jnp,
+                                jnp.zeros((TH, TW, 4), jnp.float32))
+            (grads["material_tf"],) = vjp_tf(g_tf[..., :16])
+        if "light_spectrum" in wrt:
+            # light pair was broadcast over TF rows -> transpose = row sum
+            _, vjp_ls = jax.vjp(interp.pack_tex1d_corners_jnp,
+                                jnp.zeros((TW,), jnp.float32))
+            (grads["light_spectrum"],) = vjp_ls(jnp.sum(g_tf[..., 16:], axis=0))
+    if "density" in wrt:
+        vol_dims, vol_kind = _packed_vol_meta(ctx)
+        if vol_kind == "xy":
+            VD, VHp, VWp = vol_dims
+            raw_shape = (VD, VHp - 1, VWp - 1)
+            _, vjp_vol = jax.vjp(interp.pack_volume_corners_xy_jnp,
+                                 jnp.zeros(raw_shape, jnp.float32))
+            width = 4
+        else:
+            VDp, VHp, VWp = vol_dims
+            raw_shape = (VDp - 1, VHp - 1, VWp - 1)
+            _, vjp_vol = jax.vjp(interp.pack_volume_corners_jnp,
+                                 jnp.zeros(raw_shape, jnp.float32))
+            width = 8
+        (grads["density"],) = vjp_vol(
+            acc["g_vol"].reshape(tuple(vol_dims) + (width,)))
+    if "environment" in wrt and ctx.environment is not None:
+        HpE, WpE, _ = ctx.environment.shape
+        _, vjp_env = jax.vjp(interp.pack_tex2d_corners_jnp,
+                             jnp.zeros((HpE - 1, WpE - 1, 3), jnp.float32))
+        (grads["environment"],) = vjp_env(acc["g_env"].reshape(HpE, WpE, 12))
+    return grads
+
+
 def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                              volume_filter: str = "linear",
                              wrt: frozenset = ALL_WRT,
                              scatter_stride: int = 1,
-                             scatter_phase=None):
+                             scatter_phase=None,
+                             m_final=None,
+                             adj_in=None,
+                             raw_adjoints: bool = False):
     """Hand-derived gradients of one render dispatch — packed tables.
 
     Requires the standard fast-path ctx: fused (H+1, W+1, 18) material TF
@@ -330,21 +416,32 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     and the cotangent propagation stay exact. Scatter indices are the
     backward's wall (per-INDEX cost, measured), so the backward speeds up
     near-proportionally.
+
+    Multi-dispatch plumbing (prb_render_and_grads_many):
+    ``m_final`` overrides the deposit-cotangent normalizer (the sample
+    counts at the end of the WHOLE dispatch window rather than this
+    dispatch — matching the autodiff surrogate's incremental-mean
+    cotangents, where every deposit's weight is 1/M_window_end);
+    ``adj_in`` seeds the packed-adjoint accumulators (scan carry);
+    ``raw_adjoints`` returns (state_out, image, acc) with the packed
+    adjoints uncontracted so a scan can accumulate across dispatches and
+    contract once.
     """
     assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
-    assert ctx.environment is None, "environment-map gradients not supported"
-    assert volume_filter == "linear", "packed backward supports linear filtering"
+    assert volume_filter in ("linear", "quasicubic"), (
+        "packed backward supports linear/quasicubic filtering")
+    env_mode = ctx.environment is not None
+    want_env = env_mode and "environment" in wrt
+    if want_env:
+        assert ctx.environment.shape[-1] == 12, (
+            "environment gradients need the packed equirect table "
+            "(pack_tex2d_corners; renderer pack_tables including material_tf)")
 
     # the packed volume arrives either as a flat PackedVolume (large tables)
     # or the natural 4-D array (small tables — interp.pack_volume_auto);
     # the backward only needs the padded dims + kind, and its adjoint is
     # flat (rows, width) in both cases
-    if isinstance(ctx.density, interp.PackedVolume):
-        vol_dims, vol_kind = ctx.density.dims, ctx.density.kind
-    else:
-        assert ctx.density.ndim == 4, "packed backward needs a packed volume"
-        vol_dims = ctx.density.shape[:3]
-        vol_kind = "xy" if ctx.density.shape[-1] == 4 else "full"
+    vol_dims, vol_kind = _packed_vol_meta(ctx)
 
     resolution = state0.px.shape[-1]
     streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
@@ -392,11 +489,34 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         if want_tf:
             tape["tf_row"] = ex["row_idx"]
             tape["fy"] = fy
-            ddot = (it["pre_dir"][0] * ldn[0] + it["pre_dir"][1] * ldn[1]
-                    + it["pre_dir"][2] * ldn[2])
-            dI = jnp.where(lnorm < EPS, 1.0,
-                           jnp.where(it["emitted"] > 0.0, ddot, 0.0))
-            tape["light_w"] = jnp.where(it["oob"], dI * 5.0, 0.0)
+            if env_mode:
+                # escape radiance comes from the env map; the light spectrum
+                # is never sampled, so its (pathwise) gradient is zero
+                tape["light_w"] = jnp.zeros_like(fx)
+            else:
+                ddot = (it["pre_dir"][0] * ldn[0] + it["pre_dir"][1] * ldn[1]
+                        + it["pre_dir"][2] * ldn[2])
+                dI = jnp.where(lnorm < EPS, 1.0,
+                               jnp.where(it["emitted"] > 0.0, ddot, 0.0))
+                tape["light_w"] = jnp.where(it["oob"], dI * 5.0, 0.0)
+        if want_env:
+            # equirect addressing of the escape lookup (_sample_environment):
+            # pathwise d(emitted)/d(env texel) = 2.7 * bilinear corner weight
+            # on the wavelength band's channel, for escaping lanes
+            dxd, dyd, dzd = it["pre_dir"]
+            HpE, WpE, _ = ctx.environment.shape
+            inv_pi = jnp.float32(1.0 / np.pi)
+            uE = jnp.arctan2(dxd, -dzd) * inv_pi * 0.5 + 0.5
+            vE = jnp.arcsin(-dyd) * 2.0 * inv_pi * 0.5 + 0.5
+            ebx, efx = _packed_base_frac(uE, WpE - 1)
+            eby, efy = _packed_base_frac(vE, HpE - 1)
+            tape["env_row"] = eby * WpE + ebx
+            tape["env_fx"], tape["env_fy"] = efx, efy
+            lam = it["pre_wavelength"]
+            tape["env_band"] = jnp.where(
+                lam < 500.0, 2, jnp.where(lam < 600.0, 1, 0)
+            ).astype(jnp.int32)
+            tape["env_w"] = jnp.where(it["oob"], jnp.float32(2.7), 0.0)
         if want_vol:
             # per-channel TF slope d(value)/d(density coord) from the same
             # row: (y-lerped row1 - row0) * table height; zero in the clamp
@@ -424,6 +544,13 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
             else:
                 vbz, vfz = _packed_base_frac(w, VD)
                 tape["vol_row0"] = (vbz * VHp + vby) * VWp + vbx
+            if volume_filter == "quasicubic":
+                # corner-value cotangents use the WARPED weights (the
+                # forward's smoothstep warp; positions are detached so no
+                # 6f(1-f) position-chain term arises) — see
+                # _trilinear_corners
+                warp = lambda f: f * f * (3.0 - 2.0 * f)
+                vfx, vfy, vfz = warp(vfx), warp(vfy), warp(vfz)
             tape["vfx"], tape["vfy"], tape["vfz"] = vfx, vfy, vfz
         return (p2, rng2), tape
 
@@ -437,7 +564,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         g_rad = jnp.broadcast_to(
             g_rad[:, None] / streams, (n_bins, streams, resolution, resolution)
         )
-    m_final = jnp.maximum(state_out.samples, 1).astype(jnp.float32)
+    if m_final is None:
+        m_final = jnp.maximum(state_out.samples, 1).astype(jnp.float32)
     g_rad_scaled = g_rad / m_final[None]
 
     def deposit_cotangent(pre_bin):
@@ -495,6 +623,22 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
             )
             out["g_tf"] = adj["g_tf"].at[t["tf_row"].reshape(-1)].add(
                 v18.reshape(-1, CC))
+        if want_env:
+            # one 12-wide row: 4 corners x 3 channels, the wavelength band's
+            # channel selected per lane (one-hot masks on the VPU)
+            efx, efy = t["env_fx"], t["env_fy"]
+            ew00 = (1 - efx) * (1 - efy)
+            ew01 = efx * (1 - efy)
+            ew10 = (1 - efx) * efy
+            ew11 = efx * efy
+            gE = cb * weight * t["env_w"]
+            band = t["env_band"]
+            chm = [(band == c).astype(jnp.float32) for c in range(3)]
+            cols = [gE * wc * chm[c]
+                    for wc in (ew00, ew01, ew10, ew11) for c in range(3)]
+            v12 = jnp.stack(cols, axis=-1)
+            out["g_env"] = adj["g_env"].at[t["env_row"].reshape(-1)].add(
+                v12.reshape(-1, 12))
         if want_vol:
             # density chain through the TF, trilinear corner-row scatter
             grad_dens = (grad_albedo * t["slopes"][..., 0]
@@ -527,15 +671,19 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                 c * cb * (1.0 / ctx.extinction - t["dist"]))
         return out
 
+    if adj_in is None:
+        adj_in = _packed_adj_init(ctx, wrt)
     zero = jnp.zeros_like(tape["emitted"][0])
     carry0 = dict(c=zero, cb=zero)
     if "extinction" in wrt:
-        carry0["g_ext"] = jnp.float32(0.0)
+        carry0["g_ext"] = adj_in["g_ext"]
     adj0 = {}
     if want_tf:
-        adj0["g_tf"] = jnp.zeros((Hp * Wp, CC), jnp.float32)
+        adj0["g_tf"] = adj_in["g_tf"]
     if want_vol:
-        adj0["g_vol"] = jnp.zeros((n_vol_rows, vwidth), jnp.float32)
+        adj0["g_vol"] = adj_in["g_vol"]
+    if want_env:
+        adj0["g_env"] = adj_in["g_env"]
 
     if scatter_stride == 1:
         def rev_body(carry, t):
@@ -580,33 +728,12 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         adj0, _ = jax.lax.scan(scat_body, adj0, sub)
         acc = dict(acc, **adj0)
 
-    # ---- contract packed adjoints -> raw tables (dense pack transposes) --
-    grads = {}
-    if "extinction" in wrt:
-        grads["extinction"] = acc["g_ext"]
-    if want_tf:
-        g_tf = acc["g_tf"].reshape(Hp, Wp, CC)
-        if "material_tf" in wrt:
-            _, vjp_tf = jax.vjp(interp.pack_tex2d_corners_jnp,
-                                jnp.zeros((TH, TW, 4), jnp.float32))
-            (grads["material_tf"],) = vjp_tf(g_tf[..., :16])
-        if "light_spectrum" in wrt:
-            # light pair was broadcast over TF rows -> transpose = row sum
-            _, vjp_ls = jax.vjp(interp.pack_tex1d_corners_jnp,
-                                jnp.zeros((TW,), jnp.float32))
-            (grads["light_spectrum"],) = vjp_ls(jnp.sum(g_tf[..., 16:], axis=0))
-    if want_vol:
-        if xy_packed:
-            _, vjp_vol = jax.vjp(interp.pack_volume_corners_xy_jnp,
-                                 jnp.zeros((VD, VH, VW), jnp.float32))
-        else:
-            _, vjp_vol = jax.vjp(interp.pack_volume_corners_jnp,
-                                 jnp.zeros((VD, VH, VW), jnp.float32))
-        (grads["density"],) = vjp_vol(
-            acc["g_vol"].reshape(tuple(vol_dims) + (vwidth,)))
-
+    acc = {k: acc[k] for k in ("g_ext", "g_tf", "g_vol", "g_env") if k in acc}
     image = M.radiance_to_rgb(state_out.radiance, ctx.bin_xyz)
-    return state_out, image, grads
+    if raw_adjoints:
+        return state_out, image, acc
+    # ---- contract packed adjoints -> raw tables (dense pack transposes) --
+    return state_out, image, _contract_packed_adjoints(acc, ctx, wrt)
 
 
 @functools.partial(
@@ -643,3 +770,103 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
         f"material_tf {ctx.material_tf.shape}, density "
         f"{ctx.density.shape4 if isinstance(ctx.density, interp.PackedVolume) else ctx.density.shape}"
     )
+
+
+# ==========================================================================
+# Multi-dispatch (scan-batched) packed PRB — the production fwd+bwd shape
+# ==========================================================================
+
+def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
+                   wrt, scatter_stride, m_final):
+    """Scan the packed-adjoint backward over K per-dispatch seeds inside one
+    device program (the fwd+bwd analog of models/mcm_spectral.render_many):
+    packed adjoints accumulate across dispatches and contract to the raw
+    tables ONCE at the end. The scatter-thinning phase rotates
+    deterministically with the dispatch index, so any window with
+    K % scatter_stride == 0 covers every step phase uniformly."""
+    ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
+    adj0 = _packed_adj_init(ctx, wrt)
+
+    def body(carry, inp):
+        state, adj = carry
+        seed, k = inp
+        c = ctx._replace(seed_bits=seed)
+        phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+        state, _, adj = spectral_backward_packed(
+            state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
+            scatter_stride=scatter_stride, scatter_phase=phase,
+            m_final=m_final, adj_in=adj, raw_adjoints=True)
+        return (state, adj), None
+
+    (state, acc), _ = jax.lax.scan(body, (state0, adj0), (seeds, ks))
+    image = M.radiance_to_rgb(state.radiance, ctx.bin_xyz)
+    return state, image, _contract_packed_adjoints(acc, ctx, wrt)
+
+
+def _window_final_forward(state0, ctx, seeds, steps, n_bins, volume_filter):
+    """Cheap untaped K-dispatch forward: the window-final image and
+    incremental-mean normalizer (max(samples, 1) at window end)."""
+    state_f, image = M.render_many(state0, ctx, seeds, steps=steps,
+                                   n_bins=n_bins, volume_filter=volume_filter)
+    return jnp.maximum(state_f.samples, 1).astype(jnp.float32), image
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "n_bins", "volume_filter", "wrt",
+                     "scatter_stride", "window_m_final"))
+def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
+                              n_bins: int, volume_filter: str = "linear",
+                              wrt: frozenset = ALL_WRT,
+                              scatter_stride: int = 1,
+                              window_m_final: bool = False):
+    """K taped fwd+bwd dispatches in one device program:
+    (state_out, image, grads) with grads summed over the window and
+    addressing the raw tables. ``seeds``: (K,) uint32 per-dispatch frame
+    seeds (per-dispatch ctx.seed_bits is ignored, like render_many).
+
+    ``window_m_final=False`` (default): each dispatch's deposit cotangents
+    normalize by its own end-of-dispatch sample counts — bit-equivalent to
+    K sequential ``prb_render_and_grads`` calls with summed grads.
+    ``True``: one extra untaped forward pass first computes the
+    window-final counts, matching the autodiff surrogate
+    (render_sequence_diff) cotangent semantics exactly.
+    """
+    wrt = frozenset(wrt)
+    m_final = None
+    if window_m_final:
+        m_final, _ = _window_final_forward(state0, ctx, seeds, steps, n_bins,
+                                           volume_filter)
+    return _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
+                          volume_filter, wrt, scatter_stride, m_final)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("steps", "n_bins", "volume_filter", "wrt",
+                     "scatter_stride"))
+def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
+                       volume_filter: str = "linear",
+                       wrt: frozenset = frozenset({"density"}),
+                       scatter_stride: int = 1):
+    """MSE loss + hand-derived gradients over a K-dispatch render window —
+    the packed-PRB analog of ``jax.value_and_grad(spectral_render_loss)``
+    (optim.py), and the engine behind optim.fit_spectral(method="prb").
+
+    Phase 0 (untaped forward scan) produces the window-final image — the
+    loss and its cotangent g = 2 (img - target) / numel — plus the
+    incremental-mean normalizer; phase 1 replays the window with tapes and
+    accumulates the packed adjoints. Returns (state_out, image, loss,
+    grads). Gradients address the RAW tables; in expectation they equal
+    autodiff of the REINFORCE surrogate (same event scores, score-form
+    free flights; cross-validated per seed in tests/test_prb_packed.py).
+    """
+    wrt = frozenset(wrt)
+    m_final, image = _window_final_forward(state0, ctx, seeds, steps, n_bins,
+                                           volume_filter)
+    g_image = 2.0 * (image - target) / jnp.float32(image.size)
+    state, _, grads = _prb_many_core(state0, ctx, seeds, g_image, steps,
+                                     n_bins, volume_filter, wrt,
+                                     scatter_stride, m_final)
+    loss = jnp.mean((image - target) ** 2)
+    return state, image, loss, grads

@@ -38,6 +38,26 @@ class MCSCtx(NamedTuple):
     density: jax.Array
     tf_table: jax.Array
     environment: jax.Array
+    # optional (Gz, Gy, Gx, 2) super-voxel majorant table (ops/majorant,
+    # built against THIS renderer's alpha curve tf[0, d, 3]): per cell a
+    # (local alpha majorant, flight validity range). The all-lanes-done
+    # while_loops are dominated by straggler lanes null-colliding across
+    # near-empty space at the global rate (~extinction * path length trips);
+    # local majorants collapse those flights. Statistically exact, opt-in
+    # (per-lane RNG consumption changes, so per-seed frames differ from the
+    # reference-exact default).
+    majorant: jax.Array | None = None
+
+
+def _majorant_lookup(ctx, px, py, pz):
+    """(m, r) of the cell at normalized (px, py, pz) — one 2-wide row
+    gather (mirrors mcm_spectral's majorant addressing)."""
+    Gz, Gy, Gx, _ = ctx.majorant.shape
+    cz = jnp.clip(jnp.floor(pz * Gz).astype(jnp.int32), 0, Gz - 1)
+    cy = jnp.clip(jnp.floor(py * Gy).astype(jnp.int32), 0, Gy - 1)
+    cx = jnp.clip(jnp.floor(px * Gx).astype(jnp.int32), 0, Gx - 1)
+    row = jnp.take(ctx.majorant.reshape(-1, 2), (cz * Gy + cy) * Gx + cx, axis=0)
+    return jnp.maximum(row[..., 0], 1e-12), row[..., 1]
 
 
 def _sample_tf(ctx, px, py, pz, volume_filter):
@@ -66,15 +86,32 @@ def _woodcock_distance(rng, ctx, frm, to, max_collisions, volume_filter):
     def body(carry):
         i, rng, dist, done = carry
         active = ~done
-        rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
+        if ctx.majorant is not None:
+            t0 = dist / jnp.maximum(max_dist, 1e-30)
+            m, cap = _majorant_lookup(
+                ctx, fx + (tx - fx) * t0, fy + (ty - fy) * t0,
+                fz + (tz - fz) * t0)
+            rng, step = sampling.draw_exponential(rng, active,
+                                                  ctx.extinction * m)
+            capped = step >= cap
+            step = jnp.minimum(step, cap)
+        else:
+            rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
+            capped = jnp.zeros(step.shape, bool)
         dist2 = jnp.where(active, dist + step, dist)
         escaped = active & (dist2 > max_dist)
-        still = active & ~escaped
+        still = active & ~escaped & ~capped
         t = dist2 / jnp.maximum(max_dist, 1e-30)
         tf4 = _sample_tf(ctx, fx + (tx - fx) * t, fy + (ty - fy) * t,
                          fz + (tz - fz) * t, volume_filter)
         rng, u = sampling.draw(rng, still)
-        collided = still & (u < tf4[..., 3])
+        alpha = tf4[..., 3]
+        if ctx.majorant is not None:
+            # spatially varying delta tracking: accept a tentative collision
+            # with probability alpha / m (<= 1 by the builder's bound);
+            # capped flights are pure advances (exact by memorylessness)
+            alpha = jnp.minimum(alpha / m, 1.0)
+        collided = still & (u < alpha)
         return i + 1, rng, dist2, done | escaped | collided
 
     zeros = jnp.zeros_like(max_dist)
@@ -98,14 +135,31 @@ def _woodcock_transmittance(rng, mask, ctx, frm, to, max_collisions, volume_filt
     def body(carry):
         i, rng, dist, trans, done = carry
         active = mask & ~done
-        rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
+        if ctx.majorant is not None:
+            t0 = dist / jnp.maximum(max_dist, 1e-30)
+            m, cap = _majorant_lookup(
+                ctx, fx + (tx - fx) * t0, fy + (ty - fy) * t0,
+                fz + (tz - fz) * t0)
+            rng, step = sampling.draw_exponential(rng, active,
+                                                  ctx.extinction * m)
+            capped = step >= cap
+            step = jnp.minimum(step, cap)
+        else:
+            rng, step = sampling.draw_exponential(rng, active, ctx.extinction)
+            capped = jnp.zeros(step.shape, bool)
         dist2 = jnp.where(active, dist + step, dist)
         escaped = active & (dist2 > max_dist)
-        still = active & ~escaped
+        still = active & ~escaped & ~capped
         t = dist2 / jnp.maximum(max_dist, 1e-30)
         tf4 = _sample_tf(ctx, fx + (tx - fx) * t, fy + (ty - fy) * t,
                          fz + (tz - fz) * t, volume_filter)
-        trans2 = jnp.where(still, trans * (1.0 - tf4[..., 3]), trans)
+        alpha = tf4[..., 3]
+        if ctx.majorant is not None:
+            # ratio tracking against the local majorant: the per-collision
+            # factor (1 - alpha/m) at rate ext*m has the same expectation
+            # exp(-ext * integral alpha) as (1 - alpha) at rate ext
+            alpha = jnp.minimum(alpha / m, 1.0)
+        trans2 = jnp.where(still, trans * (1.0 - alpha), trans)
         return i + 1, rng, dist2, trans2, done | escaped
 
     zeros = jnp.zeros_like(max_dist)
@@ -117,11 +171,8 @@ def _woodcock_transmittance(rng, mask, ctx, frm, to, max_collisions, volume_filt
     return rng, trans
 
 
-@functools.partial(
-    jax.jit, static_argnames=("resolution", "max_collisions", "volume_filter")
-)
-def mcs_frame(ctx: MCSCtx, resolution: int, max_collisions: int = 1024,
-              volume_filter: str = "linear"):
+def _mcs_frame_impl(ctx: MCSCtx, resolution: int, max_collisions: int = 1024,
+                    volume_filter: str = "linear"):
     """One single-scattering sample per pixel -> (H, W, 4) RGBA frame."""
     from vpt_tpu.models.raymarch import camera_rays
 
@@ -192,6 +243,38 @@ def mcs_frame(ctx: MCSCtx, resolution: int, max_collisions: int = 1024,
     return jnp.where(use_env, env4, shaded)
 
 
+mcs_frame = functools.partial(
+    jax.jit, static_argnames=("resolution", "max_collisions", "volume_filter")
+)(_mcs_frame_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "max_collisions", "volume_filter"),
+    donate_argnames=("acc", "frame"),
+)
+def mcs_frames(ctx: MCSCtx, seeds, scatter_dirs, acc, frame,
+               resolution: int, max_collisions: int = 1024,
+               volume_filter: str = "linear"):
+    """K frames in one device program: lax.scan over (seed, scatter_dir)
+    pairs with the running frame average folded in (the MCS analog of
+    mcm_spectral.render_many — amortizes per-frame host dispatch).
+    Matches K sequential ``mcs_frame`` + average steps to float rounding
+    (identical draws; XLA fuses the running average differently)."""
+
+    def body(carry, inp):
+        acc, frame = carry
+        seed, sd = inp
+        c = ctx._replace(seed_bits=seed, scatter_dir=sd)
+        img = _mcs_frame_impl(c, resolution, max_collisions, volume_filter)
+        frame = frame + 1
+        acc = acc + (img - acc) / frame.astype(jnp.float32)
+        return (acc, frame), None
+
+    (acc, frame), _ = jax.lax.scan(body, (acc, frame), (seeds, scatter_dirs))
+    return acc, frame
+
+
 def _host_scatter_direction(seed: int):
     """Deterministic rejection-sampled unit-ball direction
     (MCSRenderer.js:106-116, with a hash chain instead of Math.random)."""
@@ -217,7 +300,7 @@ def _host_scatter_direction(seed: int):
 class MCSRenderer:
     def __init__(self, volume, tf2d=None, environment=None,
                  extinction: float = 1.0, max_collisions: int = 1024,
-                 resolution: int = 512):
+                 resolution: int = 512, majorant_blocks: int | None = None):
         from vpt_tpu.scene.tf import TransferFunction2D
 
         self.volume = volume
@@ -229,6 +312,24 @@ class MCSRenderer:
             environment = np.ones((1, 1, 3), np.float32)
         density = volume.density
         tf_table = self.tf2d.rasterize()
+        # optional super-voxel majorants, built from the RAW tables before
+        # packing. MCS samples its alpha at tf[v=0][u=density][3], i.e. the
+        # alpha curve lives on the x axis of row 0 — remap it onto the
+        # builder's density-rows-x-wavelength convention ((W, 1) table whose
+        # row k carries alpha(density ~ texel k)), which makes the builder's
+        # row-touch interval logic coincide with the sampler's column-touch
+        # logic exactly.
+        maj = None
+        if majorant_blocks is not None:
+            from vpt_tpu.ops.majorant import build_majorant_grid
+
+            raw_tf = np.asarray(tf_table, np.float32)
+            curve = raw_tf[0, :, 3]  # alpha(density) along x of row 0
+            tf_equiv = np.zeros((curve.shape[0], 1, 4), np.float32)
+            tf_equiv[:, 0, 1] = curve
+            maj = jnp.asarray(build_majorant_grid(
+                np.asarray(volume.density), tf_equiv, extinction,
+                block=majorant_blocks))
         if volume.filter in ("linear", "quasicubic"):
             density = interp.pack_volume_auto(density, "full")
             tf_table = interp.pack_tex2d_corners(tf_table)
@@ -238,6 +339,7 @@ class MCSRenderer:
                      else jnp.asarray(density)),
             tf_table=jnp.asarray(tf_table),
             environment=jnp.asarray(environment, jnp.float32),
+            majorant=maj,
         )
 
     def ctx(self, camera, seed: int) -> MCSCtx:
@@ -261,4 +363,18 @@ class MCSRenderer:
         )
         frame = state["frame"] + 1
         acc = state["acc"] + (frame_img - state["acc"]) / frame.astype(jnp.float32)
+        return dict(acc=acc, frame=frame), acc[..., :3]
+
+    def render_many(self, state, camera, seeds):
+        """K frames in one device program (mcs_frames): per-frame seeds and
+        host-derived scatter directions ride a scan."""
+        seeds = np.asarray(seeds, np.uint32)
+        dirs = np.stack([_host_scatter_direction(int(s)) for s in seeds])
+        acc, frame = mcs_frames(
+            self.ctx(camera, int(seeds[0])),
+            jnp.asarray(seeds), jnp.asarray(dirs),
+            state["acc"], state["frame"],
+            resolution=self.resolution, max_collisions=self.max_collisions,
+            volume_filter=self.volume.filter,
+        )
         return dict(acc=acc, frame=frame), acc[..., :3]

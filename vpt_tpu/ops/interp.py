@@ -275,6 +275,21 @@ def pack_tex1d_corners_jnp(tex):
     return jnp.stack([p[:-1], p[1:]], axis=-1)
 
 
+def pack_tex2d_with_tex1d_jnp(tex2d, tex1d):
+    """Differentiable pack_tex2d_with_tex1d (same values) — lets an
+    optimizer re-fuse learned raw TF/light tables into the (H+1, W+1, 18)
+    fast-path table inside a jitted step (optim.make_spectral_prb_step)."""
+    t2 = pack_tex2d_corners_jnp(tex2d)
+    t1 = pack_tex1d_corners_jnp(tex1d)
+    Hp, Wp, _ = t2.shape
+    if t1.shape[0] != Wp:
+        raise ValueError(
+            f"1D table length {t1.shape[0] - 1} != 2D texture width {Wp - 1}"
+        )
+    aux = jnp.broadcast_to(t1[None], (Hp, Wp, 2))
+    return jnp.concatenate([t2, aux], axis=-1)
+
+
 def _sample_volume_packed(flat, dims, u, v, w, mode):
     """Single-gather trilinear/quasi-cubic sampling of a packed corner table
     ((rows, 8) flat + padded dims (D+1, H+1, W+1))."""

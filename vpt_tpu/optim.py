@@ -88,6 +88,7 @@ def spectral_render_loss(params, state0, base_ctx, seeds, target, steps, n_bins,
             "density": interp.pack_volume_corners_jnp,
             "material_tf": interp.pack_tex2d_corners_jnp,
             "light_spectrum": interp.pack_tex1d_corners_jnp,
+            "environment": interp.pack_tex2d_corners_jnp,
         }
         params = {k: packers[k](v) if k in packers else v for k, v in params.items()}
     ctx = base_ctx._replace(**params)
@@ -120,6 +121,100 @@ def make_spectral_inverse_step(optimizer, steps, n_bins,
     return step
 
 
+def _pack_params_into_ctx(base_ctx, params: dict, raw_mtf=None, raw_light=None):
+    """Corner-pack learned RAW tables into the base ctx's packed
+    representation, in-graph (ops/interp.pack_*_jnp) — the PRB optimizer's
+    analog of spectral_render_loss's pack_params. The representation always
+    matches base_ctx (same PackedVolume kind / fused-TF layout), so the
+    packed-adjoint backward dispatches identically every step.
+
+    ``raw_mtf`` / ``raw_light``: raw fallbacks for the fused TF+light table
+    when only one of the pair is learned."""
+    from vpt_tpu.ops import interp
+
+    updates = {}
+    if "density" in params:
+        base = base_ctx.density
+        if isinstance(base, interp.PackedVolume):
+            packer = (interp.pack_volume_corners_xy_jnp if base.kind == "xy"
+                      else interp.pack_volume_corners_jnp)
+            packed = packer(params["density"])
+            updates["density"] = interp.PackedVolume(
+                packed.reshape(-1, packed.shape[-1]), base.dims, base.kind)
+        elif base.ndim == 4:
+            packer = (interp.pack_volume_corners_xy_jnp if base.shape[-1] == 4
+                      else interp.pack_volume_corners_jnp)
+            updates["density"] = packer(params["density"])
+        else:
+            updates["density"] = params["density"]
+    if "material_tf" in params or "light_spectrum" in params:
+        if base_ctx.material_tf.shape[-1] == 18:
+            mtf = params.get("material_tf", raw_mtf)
+            light = params.get("light_spectrum", raw_light)
+            if mtf is None or light is None:
+                raise ValueError(
+                    "fused-TF ctx needs raw_mtf/raw_light fallbacks when only "
+                    "one of material_tf/light_spectrum is learned")
+            updates["material_tf"] = interp.pack_tex2d_with_tex1d_jnp(mtf, light)
+            if "light_spectrum" in params:
+                updates["light_spectrum"] = interp.pack_tex1d_corners_jnp(light)
+        else:
+            if "material_tf" in params:
+                updates["material_tf"] = params["material_tf"]
+            if "light_spectrum" in params:
+                updates["light_spectrum"] = params["light_spectrum"]
+    if "extinction" in params:
+        updates["extinction"] = params["extinction"]
+    if "environment" in params:
+        env = params["environment"]
+        base_env = base_ctx.environment
+        if base_env is not None and base_env.shape[-1] == 12:
+            updates["environment"] = interp.pack_tex2d_corners_jnp(env)
+        else:
+            updates["environment"] = env
+    return updates
+
+
+def make_spectral_prb_step(optimizer, steps, n_bins,
+                           wrt: frozenset,
+                           scatter_stride: int = 1,
+                           clip_params=("density", "material_tf"),
+                           raw_mtf=None, raw_light=None):
+    """Jitted Adam step on the hand-derived packed-adjoint PRB gradients
+    (kernels/spectral_backward.prb_loss_and_grads) — the fast config-4 path.
+
+    vs make_spectral_inverse_step (the autodiff REINFORCE surrogate): same
+    estimator in expectation (identical event scores, score-form free
+    flights), but the backward is one taped replay + one packed row scatter
+    per table per lane-step instead of autodiff residuals — and
+    ``scatter_stride`` thins the table scatters k-fold (unbiased, ~k x
+    table-grad variance, phase rotating per dispatch). Requires a renderer
+    built with pack_tables=True (the fused 18-wide TF + packed volume).
+    ``wrt`` must cover every learned param key.
+    """
+    from vpt_tpu.kernels.spectral_backward import prb_loss_and_grads
+
+    wrt = frozenset(wrt)
+
+    @functools.partial(jax.jit, donate_argnames=("istate",))
+    def step(istate: InverseState, state0, base_ctx, seeds, target):
+        ctx = base_ctx._replace(**_pack_params_into_ctx(
+            base_ctx, istate.params, raw_mtf=raw_mtf, raw_light=raw_light))
+        _, _, loss, grads = prb_loss_and_grads(
+            state0, ctx, seeds, target, steps, n_bins,
+            wrt=wrt, scatter_stride=scatter_stride)
+        grads = {k: grads[k] for k in istate.params}
+        updates, opt_state = optimizer.update(grads, istate.opt_state,
+                                              istate.params)
+        params = optax.apply_updates(istate.params, updates)
+        for key in clip_params:
+            if key in params:
+                params = dict(params, **{key: jnp.clip(params[key], 0.0, 1.0)})
+        return InverseState(params, opt_state, istate.step + 1), loss
+
+    return step
+
+
 def fit_spectral(
     target_image,
     renderer,
@@ -130,19 +225,33 @@ def fit_spectral(
     learning_rate: float = 0.02,
     seed: int = 0,
     progress=None,
+    method: str | None = None,
+    scatter_stride: int = 1,
 ):
     """Recover spectral-MCM scene parameters from a target HDR render.
 
-    ``renderer``: an MCMSpectralRenderer (pack_tables=True is fine — learned
-    params stay raw and are corner-packed differentiably inside the loss).
-    ``init_params``: subset of
+    ``renderer``: an MCMSpectralRenderer. ``init_params``: subset of
     {density, material_tf, light_spectrum, extinction} as arrays.
     Fresh Monte-Carlo sample streams are drawn every iteration (stochastic
     gradients; the estimator's expectation matches the converged render).
+
+    ``method``: "prb" runs the hand-derived packed-adjoint backward —
+    requires pack_tables=True and honors ``scatter_stride`` (see
+    make_spectral_prb_step; stride 4 converges fastest in wall-clock,
+    CONFIGS.md "stride convergence"). "autodiff" differentiates through
+    the REINFORCE surrogate (render_sequence_diff) — works with raw or
+    packed tables and arbitrary param subsets; the validation path.
+    Default (None): "prb" when the renderer's tables are packed (the
+    standard fast path), "autodiff" otherwise.
     """
     import numpy as np
 
     base_ctx = renderer.ctx(camera, seed)
+    if method is None:
+        packed = (base_ctx.material_tf.shape[-1] == 18
+                  and (not hasattr(base_ctx.density, "ndim")
+                       or base_ctx.density.ndim == 4))
+        method = "prb" if packed else "autodiff"
     state0 = renderer.reset(camera, seed)
     steps = renderer.config.steps
     n_bins = renderer.spectrum.n_bins
@@ -150,7 +259,17 @@ def fit_spectral(
     params = {k: jnp.asarray(v) for k, v in init_params.items()}
     optimizer = optax.adam(learning_rate)
     istate = InverseState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
-    step = make_spectral_inverse_step(optimizer, steps, n_bins)
+    if method == "prb":
+        step = make_spectral_prb_step(
+            optimizer, steps, n_bins, wrt=frozenset(params),
+            scatter_stride=scatter_stride,
+            raw_mtf=jnp.asarray(renderer.material_tf.table),
+            raw_light=jnp.asarray(renderer.light.spectrum_array()),
+        )
+    elif method == "autodiff":
+        step = make_spectral_inverse_step(optimizer, steps, n_bins)
+    else:
+        raise ValueError(f"unknown method {method!r} (prb | autodiff)")
 
     target = jnp.asarray(target_image)
     losses = []

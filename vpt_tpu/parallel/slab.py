@@ -112,13 +112,17 @@ def _sample_volume_slab(packed_slab, u, v, w, rows_per_device, dims, mode):
 
 
 def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
-                volume_filter: str = "linear"):
+                volume_filter: str = "linear", lower_only: bool = False):
     """One spectral render dispatch with the volume slab-sharded.
 
     ``ctx.density`` must be the slab-sharded padded packed table
     (shard_packed_volume); ``volume_dims`` the original (D, H, W).
     State lanes shard over rows as usual. Returns (state, image) —
     bit-identical to M.render with a replicated volume.
+
+    ``lower_only``: return the lowered-but-unexecuted program instead
+    (tests/test_hlo.py inspects its compiled HLO for the two-collective
+    contract).
     """
     n = mesh.devices.size
     resolution = state.px.shape[-1]
@@ -187,4 +191,6 @@ def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
         out_specs=(state_specs, P(AXIS, None, None)),
         check_vma=False,
     )
+    if lower_only:
+        return jax.jit(fn).lower(state, ctx)
     return jax.jit(fn)(state, ctx)

@@ -108,3 +108,20 @@ class Volume:
         v[x**2 + y**2 + (z - 0.5) ** 2 < 0.4**2] += 200
         v[x**2 + y**2 + (z + 0.5) ** 2 < 0.4**2] += 100
         return Volume(density=v.astype(np.float32) / 255.0)
+
+    @staticmethod
+    def sparse_spheres(size: int = 256, count: int = 8, radius: float = 0.08,
+                       seed: int = 7) -> "Volume":
+        """A few small dense spheres in empty space (~0.1-2% occupancy):
+        the sparse-scene regime where per-path step count — not per-step
+        cost — dominates, i.e. where the super-voxel majorant accelerator
+        (ops/majorant) earns its keep. Deterministic placement."""
+        rng = np.random.default_rng(seed)
+        v = np.zeros((size, size, size), dtype=np.float32)
+        grid = np.linspace(-1, 1, size)
+        x, y, z = np.meshgrid(grid, grid, grid, indexing="ij")
+        for _ in range(count):
+            c = rng.uniform(-0.7, 0.7, 3)
+            v[(x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2
+              < radius ** 2] = 1.0
+        return Volume(density=v)
