@@ -216,6 +216,8 @@ def cmd_invert(args):
     from vpt_tpu.models.raymarch import eam_frame
     import jax.numpy as jnp
 
+    if args.spectral:
+        return _cmd_invert_spectral(args)
     target_vol = _load_volume(args)
     tf = np.zeros((256, 256, 4), np.float32)
     tf[..., :3] = 1.0
@@ -244,6 +246,66 @@ def cmd_invert(args):
     np.save(args.output, np.asarray(params["density"]))
     err = float(np.abs(np.asarray(params["density"]) - target_vol.density).mean())
     print(json.dumps({"final_loss": losses[-1], "density_mae": err}))
+
+
+def _cmd_invert_spectral(args):
+    """Spectral-MCM inverse rendering (BASELINE config 4) on the packed-PRB
+    fast path: recover the density grid from a converged spectral render.
+    ``--method prb --scatter-stride 4`` is the production estimator
+    (CONFIGS.md "stride convergence"); ``--method autodiff`` is the
+    REINFORCE-surrogate validation path."""
+    import numpy as np
+
+    from vpt_tpu.models.mcm_spectral import MCMSpectralRenderer
+    from vpt_tpu.optim import fit_spectral
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    target_vol = _load_volume(args)
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    table[..., 2] = 0.5
+
+    def renderer(vol):
+        return MCMSpectralRenderer(
+            vol, MaterialTF(table), LightConfig(direction=(0.0, 0.0, 0.0)),
+            SpectrumConfig(),
+            MCMSpectralConfig(extinction=args.extinction, bounces=8, steps=8),
+            resolution=args.resolution, streams=4, pack_tables=True)
+
+    cam = Camera()
+    r_true = renderer(target_vol)
+    state = r_true.reset(cam, 999)
+    state, target = r_true.render_many(
+        state, cam, [(999 + k) * 2654435761 % 2**32 for k in range(128)])
+
+    # heavily smoothed init preserving gross structure
+    d = np.asarray(target_vol.density)
+    f = max(d.shape[0] // 16, 4)
+    n = d.shape[0]
+    c = d[: n // f * f, : n // f * f, : n // f * f].reshape(
+        n // f, f, n // f, f, n // f, f).mean(axis=(1, 3, 5))
+    init = np.repeat(np.repeat(np.repeat(c, f, 0), f, 1), f, 2)
+    init = np.pad(init, [(0, n - init.shape[i]) for i in range(3)],
+                  mode="edge").astype(np.float32)
+
+    params, losses = fit_spectral(
+        np.asarray(target), renderer(Volume(density=init)), cam,
+        {"density": init}, iterations=args.iterations,
+        method=args.method, scatter_stride=args.scatter_stride,
+        progress=lambda i, l: print(f"iter {i}: loss {l:.6f}",
+                                    file=sys.stderr))
+    rec = np.asarray(params["density"])
+    np.save(args.output, rec)
+    err = float(np.abs(rec - np.asarray(target_vol.density)).mean())
+    init_err = float(np.abs(init - np.asarray(target_vol.density)).mean())
+    print(json.dumps({"final_loss": losses[-1], "density_mae": err,
+                      "init_density_mae": init_err}))
 
 
 def main(argv=None):
@@ -304,6 +366,12 @@ def main(argv=None):
     sp.add_argument("--output", "-o", default="recovered.npy")
     sp.add_argument("--views", type=int, default=4)
     sp.add_argument("--iterations", type=int, default=200)
+    sp.add_argument("--spectral", action="store_true",
+                    help="spectral-MCM inverse on the packed-PRB fast path")
+    sp.add_argument("--method", choices=["prb", "autodiff"], default=None,
+                    help="gradient estimator (default: auto)")
+    sp.add_argument("--scatter-stride", type=int, default=4,
+                    help="PRB scatter thinning stride (unbiased)")
     sp.set_defaults(fn=cmd_invert)
 
     args = p.parse_args(argv)
