@@ -77,3 +77,42 @@ def test_spectral_loss_gradient_is_stochastic_but_consistent():
         )
         assert np.isfinite(float(loss))
         assert np.isfinite(np.asarray(g["material_tf"])).all()
+
+
+def test_recover_environment_map_prb():
+    """Recover an env map's color from a target render on the PRB fast path
+    (wrt={'environment'}). A 1x1 env makes the problem well-conditioned
+    (every escape constrains the same 3 texels; a many-texel equirect map
+    seen through a narrow frustum is underdetermined — verified: autodiff
+    and PRB walk identically there, it is the problem, not the estimator)."""
+    import numpy as np
+
+    from vpt_tpu.optim import fit_spectral
+
+    def renderer(env):
+        vol = Volume(density=np.zeros((4, 4, 4), np.float32))
+        mat = MaterialTF.constant(albedo=0.0, alpha=0.0)
+        cfg = MCMSpectralConfig(extinction=2.0, bounces=0, steps=4)
+        return M.MCMSpectralRenderer(
+            vol, mat, LightConfig(direction=(0.0, 0.0, 0.0)),
+            SpectrumConfig(), cfg, resolution=RES, pack_tables=True,
+            environment=env)
+
+    true_env = np.asarray([[[0.8, 0.45, 0.2]]], np.float32)
+    r = renderer(true_env)
+    cam = Camera()
+    state = r.reset(cam, 5)
+    seeds = [np.uint32((5 + k + 1) * 2654435761 % 2**32) for k in range(64)]
+    state, target = r.render_many(state, cam, seeds)
+
+    init_env = np.full((1, 1, 3), 0.5, np.float32)
+    r2 = renderer(init_env)
+    params, losses = fit_spectral(
+        np.asarray(target), r2, cam, {"environment": init_env.copy()},
+        dispatches_per_step=8, iterations=100, learning_rate=0.02, seed=11,
+        method="prb", scatter_stride=1,
+    )
+    rec = np.asarray(params["environment"])
+    err0 = float(np.abs(init_env - true_env).mean())
+    err1 = float(np.abs(rec - true_env).mean())
+    assert err1 < 0.5 * err0, (true_env.ravel(), rec.ravel())
