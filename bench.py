@@ -96,11 +96,12 @@ def measure_forward(resolution, volume_size, steps, streams, batch, reps):
 
 
 def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
-                   scatter_stride=1):
-    """fwd+bwd Mpaths/s: PRB packed-adjoint dispatches (image + density
-    gradients each dispatch) until >= target_spp accumulated."""
+                   scatter_stride=1, chunk=4):
+    """fwd+bwd Mpaths/s on the production shape: scan-batched packed-adjoint
+    windows (prb_render_and_grads_many — image + summed density gradients
+    per K-dispatch device program) until >= target_spp accumulated."""
     import jax.numpy as jnp
-    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads
+    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
 
     renderer, camera = _scene(resolution, volume_size, steps, streams)
     ctx = renderer.ctx(camera, 1)
@@ -108,28 +109,30 @@ def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
     g_img = jnp.ones((resolution, resolution, 3), jnp.float32)
     wrt = frozenset({"density"})
 
-    state, img, g = prb_render_and_grads(
-        state, ctx, g_img, steps, 12, wrt=wrt, scatter_stride=scatter_stride)
-    float(jnp.sum(g["density"]))  # compile + sync
+    def window(state, lo):
+        seeds = jnp.asarray(
+            [(lo + k) * 2654435761 % 2**32 for k in range(chunk)], jnp.uint32)
+        return prb_render_and_grads_many(
+            state, ctx, seeds, g_img, steps, 12, wrt=wrt,
+            scatter_stride=scatter_stride)
+
+    state, img, g = window(state, 2)  # compile + warm
+    float(jnp.sum(g["density"]))
     s_before = int(jnp.sum(state.samples))
 
-    # ~spp per dispatch from the warmup: size the loop to hit target_spp
     spp_per = max(s_before / (resolution * resolution * streams), 1e-6)
-    reps = max(int(np.ceil(target_spp / spp_per)), 4)
+    reps = max(int(np.ceil(target_spp / spp_per)), 2)
 
     t0 = time.perf_counter()
     for k in range(reps):
-        c = ctx._replace(seed_bits=jnp.uint32((k + 2) * 2654435761 % 2**32))
-        state, img, g = prb_render_and_grads(
-            state, c, g_img, steps, 12, wrt=wrt,
-            scatter_stride=scatter_stride)
+        state, img, g = window(state, (k + 1) * chunk + 2)
     float(jnp.sum(g["density"]))
     dt = time.perf_counter() - t0
     paths = int(jnp.sum(state.samples)) - s_before
     spp = paths / (resolution * resolution * streams)
     mpaths = paths / dt / 1e6
     print(
-        f"# fwd+bwd (stride={scatter_stride}): {reps} dispatches in "
+        f"# fwd+bwd (stride={scatter_stride}): {reps * chunk} dispatches in "
         f"{dt:.2f}s; {spp:.1f} spp; {mpaths:.2f} Mpaths/s",
         file=sys.stderr,
     )
