@@ -119,6 +119,30 @@ def pair_coalesce_time(resolution=512, streams=4, steps=8, n_rows=129**3,
             adj, _ = jax.lax.scan(
                 body, jnp.zeros((n_rows, 8), jnp.float32), (rows, vals))
             return adj
+    elif mode == "segment_sum":
+        # alternative lowering probe: does XLA lower segment_sum (scatter
+        # by another name) differently from .at[].add?
+        @jax.jit
+        def run(rows, vals):
+            def body(adj, inp):
+                rr, vv = inp
+                return adj + jax.ops.segment_sum(vv, rr, num_segments=n_rows), None
+            adj, _ = jax.lax.scan(
+                body, jnp.zeros((n_rows, 8), jnp.float32), (rows, vals))
+            return adj
+    elif mode == "sorted":
+        # pre-sorted indices with the hint: measured flat before
+        # (tools/scatter_bench.py) — re-checked here on the scan shape
+        @jax.jit
+        def run(rows, vals):
+            def body(adj, inp):
+                rr, vv = inp
+                order = jnp.argsort(rr)
+                return adj.at[rr[order]].add(
+                    vv[order], indices_are_sorted=True, mode="drop"), None
+            adj, _ = jax.lax.scan(
+                body, jnp.zeros((n_rows, 8), jnp.float32), (rows, vals))
+            return adj
     else:
         @jax.jit
         def run(rows, vals):
@@ -150,17 +174,14 @@ def pair_coalesce_time(resolution=512, streams=4, steps=8, n_rows=129**3,
 def main():
     frac = duplicate_fraction()
     print(f"# consecutive-step same-row fraction: {frac:.3f}", file=sys.stderr)
-    base_s, base_ns = pair_coalesce_time(mode="baseline")
-    print(f"# baseline scatter scan: {base_s*1e3:.1f} ms ({base_ns:.1f} ns/idx)",
-          file=sys.stderr)
-    co_s, co_ns = pair_coalesce_time(mode="coalesce")
-    print(f"# pair-coalesce scatter scan: {co_s*1e3:.1f} ms ({co_ns:.1f} ns/idx)",
-          file=sys.stderr)
-    print(json.dumps(dict(duplicate_fraction=round(frac, 4),
-                          baseline_ms=round(base_s * 1e3, 2),
-                          coalesce_ms=round(co_s * 1e3, 2),
-                          baseline_ns_per_idx=round(base_ns, 2),
-                          coalesce_ns_per_idx=round(co_ns, 2))))
+    out = dict(duplicate_fraction=round(frac, 4))
+    for mode in ("baseline", "coalesce", "segment_sum", "sorted"):
+        t_s, t_ns = pair_coalesce_time(mode=mode)
+        print(f"# {mode} scatter scan: {t_s*1e3:.1f} ms ({t_ns:.1f} ns/idx)",
+              file=sys.stderr)
+        out[f"{mode}_ms"] = round(t_s * 1e3, 2)
+        out[f"{mode}_ns_per_idx"] = round(t_ns, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
