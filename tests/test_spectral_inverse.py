@@ -116,3 +116,38 @@ def test_recover_environment_map_prb():
     err0 = float(np.abs(init_env - true_env).mean())
     err1 = float(np.abs(rec - true_env).mean())
     assert err1 < 0.5 * err0, (true_env.ravel(), rec.ravel())
+
+
+def test_fit_spectral_checkpoint_resume_bit_identical(tmp_path):
+    """Interrupted-and-resumed optimization == straight-through run,
+    bit-for-bit (per-iteration seeds derive from the iteration index;
+    save/load round-trips the full (params, opt_state, step) pytree)."""
+    import numpy as np
+
+    from vpt_tpu.optim import fit_spectral
+
+    def renderer(alpha):
+        vol = Volume(density=np.full((4, 4, 4), 0.5, np.float32))
+        mat = MaterialTF.constant(albedo=0.0, alpha=alpha)
+        cfg = MCMSpectralConfig(extinction=2.0, bounces=0, steps=4)
+        return M.MCMSpectralRenderer(
+            vol, mat, LightConfig(direction=(0.0, 0.0, 0.0)),
+            SpectrumConfig(), cfg, resolution=RES, pack_tables=True)
+
+    target = np.zeros((RES, RES, 3), np.float32)
+    kw = dict(dispatches_per_step=2, learning_rate=0.05, seed=9,
+              method="prb")
+    init = {"material_tf": renderer(0.4).material_tf.table.copy()}
+
+    straight, _ = fit_spectral(target, renderer(0.4), Camera(), dict(init),
+                               iterations=8, **kw)
+
+    ck = str(tmp_path / "inv.npz")
+    fit_spectral(target, renderer(0.4), Camera(), dict(init),
+                 iterations=4, checkpoint=ck, checkpoint_every=2, **kw)
+    resumed, losses2 = fit_spectral(target, renderer(0.4), Camera(),
+                                    dict(init), iterations=8, checkpoint=ck,
+                                    checkpoint_every=2, **kw)
+    assert len(losses2) == 4  # only the resumed iterations
+    np.testing.assert_array_equal(np.asarray(straight["material_tf"]),
+                                  np.asarray(resumed["material_tf"]))

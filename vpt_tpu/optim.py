@@ -30,6 +30,39 @@ class InverseState(NamedTuple):
     step: jax.Array
 
 
+def save_inverse_checkpoint(path: str, istate: InverseState) -> None:
+    """Persist an optimization state (params + opt_state + step) — the
+    inverse-rendering analog of session.save_checkpoint (SURVEY §5:
+    (params, opt_state) checkpointing for BASELINE config 4). Stored as
+    flattened pytree leaves; restore against a structurally identical
+    template (a fresh init from the same optimizer/params)."""
+    import numpy as np
+
+    leaves = jax.tree.leaves(istate)
+    np.savez(path, n_leaves=len(leaves),
+             **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+
+
+def load_inverse_checkpoint(path: str, template: InverseState) -> InverseState:
+    """Restore an InverseState saved by save_inverse_checkpoint.
+
+    ``template``: a fresh InverseState with the same params/optimizer
+    structure (its leaf VALUES are ignored). Resuming is exact: the step
+    function is deterministic given (state, seeds), so an interrupted and
+    a straight-through run produce bit-identical trajectories."""
+    import numpy as np
+
+    leaves, treedef = jax.tree.flatten(template)
+    with np.load(path) as data:
+        n = int(data["n_leaves"])
+        if n != len(leaves):
+            raise ValueError(
+                f"checkpoint has {n} leaves; template has {len(leaves)} "
+                "(different params subset or optimizer?)")
+        new = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    return jax.tree.unflatten(treedef, new)
+
+
 def eam_loss(params, inv_mvp, offset, target, static):
     """MSE between the EAM forward render and a target image."""
     img = eam_frame(
@@ -227,6 +260,8 @@ def fit_spectral(
     progress=None,
     method: str | None = None,
     scatter_stride: int = 1,
+    checkpoint: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Recover spectral-MCM scene parameters from a target HDR render.
 
@@ -243,7 +278,14 @@ def fit_spectral(
     packed tables and arbitrary param subsets; the validation path.
     Default (None): "prb" when the renderer's tables are packed (the
     standard fast path), "autodiff" otherwise.
+
+    ``checkpoint``: path for periodic (params, opt_state, step) snapshots
+    (save_inverse_checkpoint); if the file already exists the run RESUMES
+    from it — bit-identical to an uninterrupted run (per-iteration seeds
+    derive from the iteration index). ``losses`` then covers only the
+    resumed iterations.
     """
+    import os
     import numpy as np
 
     base_ctx = renderer.ctx(camera, seed)
@@ -271,9 +313,14 @@ def fit_spectral(
     else:
         raise ValueError(f"unknown method {method!r} (prb | autodiff)")
 
+    start = 0
+    if checkpoint and os.path.exists(checkpoint):
+        istate = load_inverse_checkpoint(checkpoint, istate)
+        start = int(istate.step)
+
     target = jnp.asarray(target_image)
     losses = []
-    for i in range(iterations):
+    for i in range(start, iterations):
         seeds = jnp.asarray(
             [np.uint32((seed + 1 + i * dispatches_per_step + k) * 2654435761 % 2**32)
              for k in range(dispatches_per_step)],
@@ -283,6 +330,9 @@ def fit_spectral(
         losses.append(float(loss))
         if progress is not None and (i % 10 == 0 or i == iterations - 1):
             progress(i, losses[-1])
+        if checkpoint and ((i + 1) % checkpoint_every == 0
+                           or i == iterations - 1):
+            save_inverse_checkpoint(checkpoint, istate)
     return istate.params, losses
 
 
