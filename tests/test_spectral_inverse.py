@@ -151,3 +151,27 @@ def test_fit_spectral_checkpoint_resume_bit_identical(tmp_path):
     assert len(losses2) == 4  # only the resumed iterations
     np.testing.assert_array_equal(np.asarray(straight["material_tf"]),
                                   np.asarray(resumed["material_tf"]))
+
+
+def test_sanitize_grads_bounds_spikes_and_kills_nan():
+    """The MC score estimator has heavy tails: rare near-zero-probability
+    events contribute ~1/p-scale terms that can overflow the scatter-add
+    accumulation to inf, and Adam turns one inf gradient element into a NaN
+    parameter. sanitize_grads is the optimizer-level guard (optim.py)."""
+    from vpt_tpu.optim import sanitize_grads
+
+    g = {"density": jnp.asarray([1e-3, np.inf, -np.inf, np.nan, 5e3, -5e3]),
+         "extinction": jnp.asarray(2.0)}
+    s = sanitize_grads(g, 1e3)
+    np.testing.assert_allclose(
+        np.asarray(s["density"]), [1e-3, 1e3, -1e3, 0.0, 1e3, -1e3])
+    assert float(s["extinction"]) == 2.0
+    # an inf gradient through vanilla Adam is exactly the failure mode:
+    import optax
+    opt = optax.adam(0.02)
+    bad = {"d": jnp.asarray([np.inf, 1.0])}
+    p = {"d": jnp.asarray([0.5, 0.5])}
+    upd, _ = opt.update(bad, opt.init(p), p)
+    assert np.isnan(np.asarray(optax.apply_updates(p, upd)["d"][0]))
+    upd, _ = opt.update(sanitize_grads(bad, 1e3), opt.init(p), p)
+    assert np.isfinite(np.asarray(optax.apply_updates(p, upd)["d"])).all()

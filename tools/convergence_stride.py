@@ -6,9 +6,13 @@ Curves (same scene, same targets, same seed sequence, density-only):
   - prb-s1/2/4 : hand-derived packed-adjoint PRB (optim.make_spectral_prb_step)
                  at scatter_stride 1 / 2 / 4
 
-The decisive metric is parameter-space error ||density - true||^2 (noise-free,
-estimator-independent) against cumulative optimizer wall-clock. The training
-loss (window MSE) is recorded alongside. Results go to
+The decisive metric is the EVAL loss — MSE of a fixed-seed render estimate of
+the current params against the target, computed OFF the optimizer clock every
+iteration. It is deterministic given params (identical eval seeds for every
+method/iteration), so curves compare exactly; the training loss (per-window
+MC MSE) and parameter-space density MSE are recorded alongside (the latter is
+confounded at a single view: occluded/interior voxels are unconstrained, so
+image-space convergence need not move it). Results go to
 tools/convergence_stride.json and the summary table into CONFIGS.md's
 "stride convergence" section (hand-pasted).
 
@@ -93,17 +97,36 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
              for k in range(dispatches_per_step)], jnp.uint32)
 
     tgt = jnp.asarray(target)
-    # warm the compile outside the clock
+
+    # fixed-seed eval estimator (the decisive metric; OFF the clock).
+    # Deterministic in params: same eval seeds for every method/iteration.
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.optim import _pack_params_into_ctx
+
+    eval_seeds = jnp.asarray(
+        [np.uint32((31337 + k) * 2654435761 % 2**32) for k in range(16)],
+        jnp.uint32)
+
+    @jax.jit
+    def eval_loss(params):
+        ctx = base_ctx._replace(**_pack_params_into_ctx(base_ctx, params))
+        _, img = M.render_many(state0, ctx, eval_seeds, steps=steps,
+                               n_bins=n_bins)
+        return jnp.mean((img - tgt) ** 2)
+
+    # warm the compiles outside the clock
     warm = optim.InverseState(params, optimizer.init(params),
                               jnp.zeros((), jnp.int32))
     warm, wl = step(warm, state0, base_ctx, seeds_for(10**6), tgt)
     float(wl)
+    float(eval_loss(warm.params))
 
     istate = optim.InverseState(
         {"density": jnp.asarray(init_density)},
         optimizer.init({"density": jnp.asarray(init_density)}),
         jnp.zeros((), jnp.int32))
-    times, train_loss, dens_mse = [], [], []
+    init_eval = float(eval_loss(istate.params))
+    times, train_loss, eval_losses, dens_mse = [], [], [], []
     elapsed = 0.0
     for i in range(iterations):
         t0 = time.perf_counter()
@@ -112,11 +135,13 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
         elapsed += time.perf_counter() - t0
         times.append(round(elapsed, 4))
         train_loss.append(lv)
-        # metric fetch OFF the clock
+        # metric fetches OFF the clock
+        eval_losses.append(float(eval_loss(istate.params)))
         d = np.asarray(istate.params["density"])
         dens_mse.append(float(np.mean((d - true_density) ** 2)))
     return dict(method=kind if kind == "autodiff" else f"prb-s{stride}",
-                times=times, train_loss=train_loss, density_mse=dens_mse)
+                times=times, train_loss=train_loss, eval_loss=eval_losses,
+                init_eval_loss=init_eval, density_mse=dens_mse)
 
 
 def main():
@@ -161,6 +186,8 @@ def main():
         r["init_density_mse"] = init_mse
         rows.append(r)
         print(f"# {r['method']}: {r['times'][-1]:.1f}s, "
+              f"eval loss {r['init_eval_loss']:.6f} -> "
+              f"{r['eval_loss'][-1]:.6f}, "
               f"density MSE {init_mse:.5f} -> {r['density_mse'][-1]:.5f}, "
               f"train loss {r['train_loss'][0]:.5f} -> "
               f"{r['train_loss'][-1]:.5f}")
@@ -173,12 +200,18 @@ def main():
             curves=rows), f)
     print(f"wrote {args.out}")
 
-    # time-to-threshold summary (the decisive numbers)
+    # time-to-threshold summary (the decisive numbers): wall-clock to reach
+    # a given fraction of the initial eval-loss GAP above the noise floor
+    # (floor = best eval loss any method reached — eval vs target MSE cannot
+    # reach 0: both are finite-spp estimates).
+    floor = min(min(r["eval_loss"]) for r in rows)
+    init_eval = rows[0]["init_eval_loss"]
+    print(f"# eval-loss floor {floor:.6f}, init {init_eval:.6f}")
     for frac in (0.5, 0.25, 0.1):
-        thresh = init_mse * frac
-        line = [f"density-MSE <= {frac:.2f}x init:"]
+        thresh = floor + (init_eval - floor) * frac
+        line = [f"eval-loss gap <= {frac:.2f}x init:"]
         for r in rows:
-            hit = next((t for t, m in zip(r["times"], r["density_mse"])
+            hit = next((t for t, m in zip(r["times"], r["eval_loss"])
                         if m <= thresh), None)
             line.append(f"{r['method']}={'%.1fs' % hit if hit else 'never'}")
         print("  ".join(line))

@@ -63,6 +63,28 @@ def load_inverse_checkpoint(path: str, template: InverseState) -> InverseState:
     return jax.tree.unflatten(treedef, new)
 
 
+def sanitize_grads(grads, clip: float):
+    """Make Monte-Carlo gradients safe for Adam: replace NaN with 0,
+    +/-inf with +/-clip, and clamp every element to [-clip, clip].
+
+    Score-function estimators have heavy-tailed per-event terms — the event
+    scores divide by event probabilities floored at 1e-12
+    (kernels/spectral_backward.py:210-213), so a lane that samples an
+    event whose probability is denormal contributes a ~1e12-scale term, and
+    the scatter-add accumulation at clamp corners (the reference's
+    clamped-sample-before-OOB quirk funnels every out-of-bounds lane onto
+    border voxels) can overflow float32 to inf. Adam converts a single inf
+    gradient element into a NaN parameter (inf/sqrt(inf^2)), permanently
+    corrupting that voxel. Clipping at ``clip`` (default 1e3 — ~6 orders
+    above typical density-grad magnitudes, a pure spike guard) bounds the
+    update direction without touching well-behaved elements."""
+    return jax.tree.map(
+        lambda g: jnp.clip(
+            jnp.nan_to_num(g, nan=0.0, posinf=clip, neginf=-clip),
+            -clip, clip),
+        grads)
+
+
 def eam_loss(params, inv_mvp, offset, target, static):
     """MSE between the EAM forward render and a target image."""
     img = eam_frame(
@@ -130,13 +152,17 @@ def spectral_render_loss(params, state0, base_ctx, seeds, target, steps, n_bins,
 
 
 def make_spectral_inverse_step(optimizer, steps, n_bins,
-                               clip_params=("density", "material_tf")):
+                               clip_params=("density", "material_tf"),
+                               grad_clip: float = 1e3):
     """Jitted Adam step for spectral inverse rendering (BASELINE config 4).
 
     state0/base_ctx are call arguments, not closure captures: large
     closed-over constants get serialized into the lowered module, which is
     pathologically slow on remote-compile toolchains (measured 426s vs 13s
     lowering for a 128^3 volume).
+
+    ``grad_clip``: element-wise spike guard (sanitize_grads) against the
+    score estimator's heavy tails; None disables.
     """
 
     @jax.jit
@@ -144,6 +170,8 @@ def make_spectral_inverse_step(optimizer, steps, n_bins,
         loss, grads = jax.value_and_grad(spectral_render_loss)(
             istate.params, state0, base_ctx, seeds, target, steps, n_bins
         )
+        if grad_clip is not None:
+            grads = sanitize_grads(grads, grad_clip)
         updates, opt_state = optimizer.update(grads, istate.opt_state, istate.params)
         params = optax.apply_updates(istate.params, updates)
         for key in clip_params:
@@ -212,7 +240,8 @@ def make_spectral_prb_step(optimizer, steps, n_bins,
                            wrt: frozenset,
                            scatter_stride: int = 1,
                            clip_params=("density", "material_tf"),
-                           raw_mtf=None, raw_light=None):
+                           raw_mtf=None, raw_light=None,
+                           grad_clip: float = 1e3):
     """Jitted Adam step on the hand-derived packed-adjoint PRB gradients
     (kernels/spectral_backward.prb_loss_and_grads) — the fast config-4 path.
 
@@ -237,6 +266,8 @@ def make_spectral_prb_step(optimizer, steps, n_bins,
             state0, ctx, seeds, target, steps, n_bins,
             wrt=wrt, scatter_stride=scatter_stride)
         grads = {k: grads[k] for k in istate.params}
+        if grad_clip is not None:
+            grads = sanitize_grads(grads, grad_clip)
         updates, opt_state = optimizer.update(grads, istate.opt_state,
                                               istate.params)
         params = optax.apply_updates(istate.params, updates)
