@@ -143,9 +143,10 @@ def test_rejects_half_packed_ctx():
 
 
 def test_many_matches_sequential_dispatches():
-    """prb_render_and_grads_many (scan-batched) == K sequential
+    """prb_render_and_grads_many(window=False) == K sequential
     prb_render_and_grads calls with summed grads, bit-for-bit (stride 1,
-    per-dispatch m_final)."""
+    per-dispatch m_final, score chains truncated at dispatch boundaries —
+    the per-dispatch-optimizer composition)."""
     from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
 
     _, packed = _renderers(Volume.sphere_in_cube(16), streams=2)
@@ -167,7 +168,7 @@ def test_many_matches_sequential_dispatches():
     s0 = packed.reset(cam, 3)
     state_m, img_m, got = prb_render_and_grads_many(
         s0, packed.ctx(cam, 0), jnp.asarray(seeds, jnp.uint32), g_img,
-        STEPS, 12, wrt=wrt)
+        STEPS, 12, wrt=wrt, window=False)
     np.testing.assert_array_equal(np.asarray(img_m), img_seq)
     for k in wrt:
         a, b = np.asarray(want[k]), np.asarray(got[k])
@@ -180,7 +181,9 @@ def test_many_matches_sequential_dispatches():
 
 def test_loss_and_grads_matches_manual_composition():
     """prb_loss_and_grads == render_many-derived (m_final, image, g_image)
-    fed through spectral_backward_packed sequentially."""
+    fed through spectral_backward_packed per dispatch in REVERSE order,
+    threading the deposit-cotangent carry across dispatch boundaries (the
+    window-exact composition)."""
     from vpt_tpu.kernels.spectral_backward import (
         prb_loss_and_grads, spectral_backward_packed)
 
@@ -190,18 +193,28 @@ def test_loss_and_grads_matches_manual_composition():
     target = jnp.full((RES, RES, 3), 0.25)
     wrt = frozenset({"density"})
 
-    s0 = packed.reset(cam, 1)
+    import jax
+
     ctx = packed.ctx(cam, 1)
+    starts, state = [], packed.reset(cam, 1)
+    for s in np.asarray(seeds):
+        # M.render donates its state arg; keep an undonated copy
+        starts.append(jax.tree.map(jnp.array, state))
+        state, _ = M.render(state, ctx._replace(seed_bits=jnp.uint32(s)),
+                            steps=STEPS, n_bins=12)
     state_f, image = M.render_many(packed.reset(cam, 1), ctx, seeds,
                                    steps=STEPS, n_bins=12)
+    np.testing.assert_array_equal(
+        np.asarray(M.radiance_to_rgb(state.radiance, ctx.bin_xyz)),
+        np.asarray(image))
     m_final = jnp.maximum(state_f.samples, 1).astype(jnp.float32)
     g_image = 2.0 * (image - target) / jnp.float32(image.size)
     want = None
-    state = packed.reset(cam, 1)
-    for s in np.asarray(seeds):
-        state, _, g = spectral_backward_packed(
-            state, ctx._replace(seed_bits=jnp.uint32(s)), g_image, STEPS, 12,
-            wrt=wrt, m_final=m_final)
+    cot = dict(c=jnp.zeros_like(state.px), cb=jnp.zeros_like(state.px))
+    for s, st in zip(np.asarray(seeds)[::-1], starts[::-1]):
+        _, _, g, cot = spectral_backward_packed(
+            st, ctx._replace(seed_bits=jnp.uint32(s)), g_image, STEPS, 12,
+            wrt=wrt, m_final=m_final, cot_in=cot, return_cot=True)
         want = g if want is None else {k: want[k] + g[k] for k in want}
 
     _, img2, loss, got = prb_loss_and_grads(
@@ -211,6 +224,61 @@ def test_loss_and_grads_matches_manual_composition():
     a, b = np.asarray(want["density"]), np.asarray(got["density"])
     scale = max(np.abs(a).max(), 1e-6)
     np.testing.assert_allclose(a / scale, b / scale, atol=1e-6)
+
+
+def test_window_matches_autodiff_multi_dispatch():
+    """THE window-correctness pin: prb_loss_and_grads over a K>1 dispatch
+    window must equal jax.grad of the autodiff surrogate loss
+    (optim.spectral_render_loss) PER SEED, with scattering on. This is
+    exactly what per-dispatch truncation breaks: at this extinction paths
+    span dispatch boundaries, and dropping their cross-dispatch score
+    terms measured corr ~0.1 / ~7x norm loss against autodiff before the
+    carry-threading fix.
+
+    The TF's anisotropy channel is density-CONSTANT here: PRB and the
+    surrogate use different (both unbiased) estimators for the HG term,
+    and a density-dependent g channel leaks that difference into density
+    grads via the g-slope chain — per-seed equality pins the alpha/albedo
+    chains (the dominant terms) exactly."""
+    import jax
+
+    from vpt_tpu import optim
+    from vpt_tpu.kernels.spectral_backward import prb_loss_and_grads
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.7
+    table[..., 1] = 0.1 + 0.8 * dens
+    table[..., 2] = 0.5  # g = 0, density-constant
+    mat = MaterialTF(table)
+    light = LightConfig(direction=(0.6, 0.3, 0.2))
+    cfg = MCMSpectralConfig(extinction=6.0, bounces=4, steps=STEPS)
+    vol = Volume.sphere_in_cube(16)
+    kw = dict(resolution=RES, streams=2)
+    raw = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                pack_tables=False, **kw)
+    packed = M.MCMSpectralRenderer(vol, mat, light, SpectrumConfig(), cfg,
+                                   pack_tables=True, **kw)
+    cam = Camera()
+    seeds = jnp.asarray([8, 5100, 77, 90017], jnp.uint32)
+    target = jnp.full((RES, RES, 3), 0.25)
+    params = {"density": jnp.asarray(np.asarray(
+        Volume.sphere_in_cube(16).density))}
+
+    ctx_raw = raw.ctx(cam, 7)
+    loss_a, g_a = jax.value_and_grad(optim.spectral_render_loss)(
+        params, raw.reset(cam, 7), ctx_raw, seeds, target, STEPS, 12, False)
+
+    ctx_pk = packed.ctx(cam, 7)
+    _, _, loss_p, g_p = prb_loss_and_grads(
+        packed.reset(cam, 7), ctx_pk, seeds, target, STEPS, 12,
+        wrt=frozenset({"density"}), scatter_stride=1)
+
+    assert float(loss_p) == pytest.approx(float(loss_a), rel=1e-5)
+    a, b = np.asarray(g_a["density"]), np.asarray(g_p["density"])
+    scale = max(np.abs(a).max(), 1e-6)
+    np.testing.assert_allclose(b / scale, a / scale, atol=5e-4)
+    assert np.abs(a).sum() > 0
 
 
 def test_fit_spectral_prb_recovers_alpha():

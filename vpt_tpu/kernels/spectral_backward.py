@@ -394,7 +394,9 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                              scatter_phase=None,
                              m_final=None,
                              adj_in=None,
-                             raw_adjoints: bool = False):
+                             raw_adjoints: bool = False,
+                             cot_in=None,
+                             return_cot: bool = False):
     """Hand-derived gradients of one render dispatch — packed tables.
 
     Requires the standard fast-path ctx: fused (H+1, W+1, 18) material TF
@@ -425,7 +427,15 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     ``adj_in`` seeds the packed-adjoint accumulators (scan carry);
     ``raw_adjoints`` returns (state_out, image, acc) with the packed
     adjoints uncontracted so a scan can accumulate across dispatches and
-    contract once.
+    contract once. ``cot_in``/``return_cot`` thread the per-lane deposit
+    cotangent carry {c, cb} ACROSS dispatch boundaries: a path alive at
+    this dispatch's end deposits in a LATER dispatch, and its steps here
+    must credit that deposit's (contribution, cotangent) — the window
+    backward runs dispatches in reverse order passing each dispatch's
+    start-of-dispatch carry into the previous one. Without threading,
+    score chains truncate at dispatch boundaries (at extinction ~40 paths
+    span many 8-step dispatches, so most credit is dropped — measured
+    corr ~0.1 against the autodiff window gradient).
     """
     assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
     assert volume_filter in ("linear", "quasicubic"), (
@@ -674,7 +684,10 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     if adj_in is None:
         adj_in = _packed_adj_init(ctx, wrt)
     zero = jnp.zeros_like(tape["emitted"][0])
-    carry0 = dict(c=zero, cb=zero)
+    if cot_in is None:
+        carry0 = dict(c=zero, cb=zero)
+    else:
+        carry0 = dict(c=cot_in["c"], cb=cot_in["cb"])
     if "extinction" in wrt:
         carry0["g_ext"] = adj_in["g_ext"]
     adj0 = {}
@@ -728,12 +741,16 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         adj0, _ = jax.lax.scan(scat_body, adj0, sub)
         acc = dict(acc, **adj0)
 
+    cot_out = dict(c=acc["c"], cb=acc["cb"]) if return_cot else None
     acc = {k: acc[k] for k in ("g_ext", "g_tf", "g_vol", "g_env") if k in acc}
     image = M.radiance_to_rgb(state_out.radiance, ctx.bin_xyz)
     if raw_adjoints:
-        return state_out, image, acc
+        return ((state_out, image, acc, cot_out) if return_cot
+                else (state_out, image, acc))
     # ---- contract packed adjoints -> raw tables (dense pack transposes) --
-    return state_out, image, _contract_packed_adjoints(acc, ctx, wrt)
+    grads = _contract_packed_adjoints(acc, ctx, wrt)
+    return ((state_out, image, grads, cot_out) if return_cot
+            else (state_out, image, grads))
 
 
 @functools.partial(
@@ -777,68 +794,136 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
 # ==========================================================================
 
 def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
-                   wrt, scatter_stride, m_final):
+                   wrt, scatter_stride, m_final, starts=None):
     """Scan the packed-adjoint backward over K per-dispatch seeds inside one
     device program (the fwd+bwd analog of models/mcm_spectral.render_many):
     packed adjoints accumulate across dispatches and contract to the raw
     tables ONCE at the end. The scatter-thinning phase rotates
     deterministically with the dispatch index, so any window with
-    K % scatter_stride == 0 covers every step phase uniformly."""
+    K % scatter_stride == 0 covers every step phase uniformly.
+
+    ``starts=None`` (sequential mode): forward dispatch order, each
+    dispatch's cotangent carry starting from zero — bit-equivalent to K
+    sequential single-dispatch calls; score chains truncate at dispatch
+    boundaries. ``starts`` given (window mode; the stacked per-dispatch
+    START states from the phase-0 forward): REVERSE dispatch order with the
+    {c, cb} deposit-cotangent carry threaded across boundaries — the
+    window-exact estimator (per-seed equal to autodiff of the K-dispatch
+    surrogate when combined with window-final ``m_final``)."""
     ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
     adj0 = _packed_adj_init(ctx, wrt)
 
+    if starts is None:
+        def body(carry, inp):
+            state, adj = carry
+            seed, k = inp
+            c = ctx._replace(seed_bits=seed)
+            phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+            state, _, adj = spectral_backward_packed(
+                state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
+                scatter_stride=scatter_stride, scatter_phase=phase,
+                m_final=m_final, adj_in=adj, raw_adjoints=True)
+            return (state, adj), None
+
+        (state, acc), _ = jax.lax.scan(body, (state0, adj0), (seeds, ks))
+        image = M.radiance_to_rgb(state.radiance, ctx.bin_xyz)
+        return state, image, _contract_packed_adjoints(acc, ctx, wrt)
+
+    zero = jnp.zeros_like(state0.px)
+    cot0 = dict(c=zero, cb=zero)
+
     def body(carry, inp):
-        state, adj = carry
-        seed, k = inp
+        cot, adj = carry
+        st_k, seed, k = inp
         c = ctx._replace(seed_bits=seed)
         phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
-        state, _, adj = spectral_backward_packed(
-            state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
+        _, _, adj, cot = spectral_backward_packed(
+            st_k, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
             scatter_stride=scatter_stride, scatter_phase=phase,
-            m_final=m_final, adj_in=adj, raw_adjoints=True)
-        return (state, adj), None
+            m_final=m_final, adj_in=adj, raw_adjoints=True,
+            cot_in=cot, return_cot=True)
+        return (cot, adj), None
 
-    (state, acc), _ = jax.lax.scan(body, (state0, adj0), (seeds, ks))
-    image = M.radiance_to_rgb(state.radiance, ctx.bin_xyz)
-    return state, image, _contract_packed_adjoints(acc, ctx, wrt)
+    (_, acc), _ = jax.lax.scan(body, (cot0, adj0), (starts, seeds, ks),
+                               reverse=True)
+    return _contract_packed_adjoints(acc, ctx, wrt)
 
 
-def _window_final_forward(state0, ctx, seeds, steps, n_bins, volume_filter):
-    """Cheap untaped K-dispatch forward: the window-final image and
-    incremental-mean normalizer (max(samples, 1) at window end)."""
-    state_f, image = M.render_many(state0, ctx, seeds, steps=steps,
-                                   n_bins=n_bins, volume_filter=volume_filter)
-    return jnp.maximum(state_f.samples, 1).astype(jnp.float32), image
+def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
+                    with_states: bool):
+    """Untaped K-dispatch forward: (m_final, image, start_states, state_f).
+    ``m_final`` is the incremental-mean normalizer (max(samples, 1) at
+    window end); ``start_states`` stacks each dispatch's START state over K
+    (None unless ``with_states`` — the window backward's reverse-order
+    inputs)."""
+    if not with_states:
+        state_f, image = M.render_many(state0, ctx, seeds, steps=steps,
+                                       n_bins=n_bins,
+                                       volume_filter=volume_filter)
+        starts = None
+    else:
+        resolution = state0.px.shape[-1]
+        streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
+        ix, iy, seed_iy = M._pixel_grid(resolution, streams)
+        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+
+        def dispatch(p, seed_bits):
+            rng = sampling.seed_state(ix, seed_iy, seed_bits)
+
+            def body(_, carry):
+                q, r = carry
+                q, r, _ = M._render_body(q, r, None, sx, sy, ctx, n_bins,
+                                         volume_filter, diff=False)
+                return (q, r)
+
+            p2, _ = jax.lax.fori_loop(0, steps, body, (p, rng))
+            return p2, p
+
+        state_f, starts = jax.lax.scan(dispatch, state0, seeds)
+        image = M.radiance_to_rgb(state_f.radiance, ctx.bin_xyz)
+    m = jnp.maximum(state_f.samples, 1).astype(jnp.float32)
+    return m, image, starts, state_f
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride", "window_m_final"))
+                     "scatter_stride", "window"))
 def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
                               n_bins: int, volume_filter: str = "linear",
                               wrt: frozenset = ALL_WRT,
                               scatter_stride: int = 1,
-                              window_m_final: bool = False):
+                              window: bool = True):
     """K taped fwd+bwd dispatches in one device program:
     (state_out, image, grads) with grads summed over the window and
     addressing the raw tables. ``seeds``: (K,) uint32 per-dispatch frame
     seeds (per-dispatch ctx.seed_bits is ignored, like render_many).
 
-    ``window_m_final=False`` (default): each dispatch's deposit cotangents
-    normalize by its own end-of-dispatch sample counts — bit-equivalent to
-    K sequential ``prb_render_and_grads`` calls with summed grads.
-    ``True``: one extra untaped forward pass first computes the
-    window-final counts, matching the autodiff surrogate
-    (render_sequence_diff) cotangent semantics exactly.
+    ``window=True`` (default): the window-exact estimator. A phase-0
+    untaped forward over the K dispatches collects each dispatch's start
+    state and the window-final sample counts; the backward then runs in
+    REVERSE dispatch order threading the deposit-cotangent carry across
+    dispatch boundaries, so a path spanning dispatches keeps its full
+    score chain. Per-seed equal to autodiff of the K-dispatch surrogate
+    window (render_sequence_diff) — pinned by
+    tests/test_prb_packed.py::test_window_matches_autodiff_multi_dispatch.
+    ``window=False``: bit-equivalent to K sequential single-dispatch
+    ``prb_render_and_grads`` calls with summed grads — each dispatch's
+    score chain truncates at its own boundary and deposits normalize by
+    per-dispatch counts. This is what an optimizer stepping once per
+    dispatch computes; kept for composition tests and benchmarking the
+    no-phase-0 shape.
     """
     wrt = frozenset(wrt)
-    m_final = None
-    if window_m_final:
-        m_final, _ = _window_final_forward(state0, ctx, seeds, steps, n_bins,
-                                           volume_filter)
-    return _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
-                          volume_filter, wrt, scatter_stride, m_final)
+    if not window:
+        return _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
+                              volume_filter, wrt, scatter_stride, None)
+    m_final, image, starts, state_f = _window_forward(
+        state0, ctx, seeds, steps, n_bins, volume_filter, with_states=True)
+    grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
+                           volume_filter, wrt, scatter_stride, m_final,
+                           starts=starts)
+    return state_f, image, grads
 
 
 @functools.partial(
@@ -855,18 +940,20 @@ def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
 
     Phase 0 (untaped forward scan) produces the window-final image — the
     loss and its cotangent g = 2 (img - target) / numel — plus the
-    incremental-mean normalizer; phase 1 replays the window with tapes and
-    accumulates the packed adjoints. Returns (state_out, image, loss,
-    grads). Gradients address the RAW tables; in expectation they equal
-    autodiff of the REINFORCE surrogate (same event scores, score-form
-    free flights; cross-validated per seed in tests/test_prb_packed.py).
+    incremental-mean normalizer and each dispatch's start state; phase 1
+    replays the dispatches in REVERSE with tapes, threading the
+    deposit-cotangent carry across dispatch boundaries, and accumulates
+    the packed adjoints. Returns (state_out, image, loss, grads).
+    Gradients address the RAW tables; at scatter_stride=1 they equal
+    autodiff of the REINFORCE-surrogate window PER SEED
+    (tests/test_prb_packed.py::test_window_matches_autodiff_multi_dispatch).
     """
     wrt = frozenset(wrt)
-    m_final, image = _window_final_forward(state0, ctx, seeds, steps, n_bins,
-                                           volume_filter)
+    m_final, image, starts, state_f = _window_forward(
+        state0, ctx, seeds, steps, n_bins, volume_filter, with_states=True)
     g_image = 2.0 * (image - target) / jnp.float32(image.size)
-    state, _, grads = _prb_many_core(state0, ctx, seeds, g_image, steps,
-                                     n_bins, volume_filter, wrt,
-                                     scatter_stride, m_final)
+    grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
+                           volume_filter, wrt, scatter_stride, m_final,
+                           starts=starts)
     loss = jnp.mean((image - target) ** 2)
-    return state, image, loss, grads
+    return state_f, image, loss, grads
