@@ -1,25 +1,35 @@
 """Benchmark: spectral MCM throughput on the current device.
 
-Prints ONE JSON line. The headline metric is the BASELINE.json one —
-**fwd+bwd Mpaths/s/chip at 512^2 x 64 spp** (hand-derived packed-adjoint
-backward w.r.t. the density grid, the BASELINE config-3 gradient) — with
-the forward-only throughput and the stride-thinned backward (an unbiased
-lower-variance-cost estimator, kernels/spectral_backward.py) as auxiliary
-fields in the same line:
+Prints ONE JSON line. The headline metric is the BASELINE.json workload —
+**fwd+bwd Mpaths/s/chip at 512^2 x 64 spp**, density gradients — measured
+on the PRODUCTION estimator: the hand-derived packed-adjoint window
+backward with scatter_stride=4 thinning (kernels/spectral_backward.py).
+The exact (stride=1) estimator and forward-only throughput ride as
+auxiliary fields:
 
-    {"metric": "spectral_mcm_fwdbwd_512x512_64spp", "value": ...,
+    {"metric": "spectral_mcm_fwdbwd_thinned_s4_512x512_64spp", "value": ...,
      "unit": "Mpaths/s/chip", "vs_baseline": ...,
-     "fwd_mpaths_per_s": ..., "fwdbwd_thinned_stride4": ...}
+     "fwd_mpaths_per_s": ..., "fwdbwd_exact_stride1": ...}
+
+Why stride-4 is the headline (VERDICT r2 #1 asked for this promotion with
+evidence): thinning is unbiased (phase-partition identity,
+tests/test_prb_packed.py::test_scatter_stride_partition_identity) and the
+config-4 convergence study (tools/convergence_stride.py, results in
+CONFIGS.md "stride convergence") shows stride 4 reaches every eval-loss
+threshold fastest in WALL-CLOCK — 37.5s to the deepest threshold vs 46.7s
+for the autodiff surrogate and ~57s for exact PRB — because gradient
+noise is already Monte-Carlo dominated, so ~4x table-grad variance is
+nearly free while scatter indices (the measured wall, ~22-95 ns/index,
+ARCHITECTURE.md "The scatter wall") drop 4x.
 
 ``vs_baseline`` grades against BENCH_BASELINE.json: the same workload
 measured with the round-1 differentiable path (12.99 Mpaths/s) — i.e. it
 tracks this build's own progress; the reference publishes no numbers
-(BASELINE.md). A "path" is one completed photon sample.
-
-Exact-gradient throughput is pinned by the scatter wall (~22-95 ns per
-scatter-add index, see ARCHITECTURE.md "The scatter wall" +
-tools/scatter_bench.py); the thinned estimator trades bounded extra
-Monte-Carlo variance for proportionally fewer scatter indices.
+(BASELINE.md). A "path" is one completed photon sample. History: r1 12.99
+exact; r2 12.78 exact (flat — the scatter wall); r3 promotes the
+convergence-proven thinned estimator AND fixes the window backward's
+dispatch-boundary cotangent truncation (the exact number is unchanged at
+12.78 with tape-storage windows paying for the fix).
 
 BENCH_MODE=fwd prints only the legacy forward-throughput line.
 """
@@ -173,14 +183,18 @@ def main():
     thinned = measure_fwdbwd(resolution, volume_size, steps, streams,
                              target_spp, scatter_stride=4)
     print(json.dumps({
-        "metric": "spectral_mcm_fwdbwd_512x512_64spp",
-        "value": round(exact, 3),
+        "metric": "spectral_mcm_fwdbwd_thinned_s4_512x512_64spp",
+        "value": round(thinned, 3),
         "unit": "Mpaths/s/chip",
-        "vs_baseline": _vs_baseline(exact),
+        "vs_baseline": _vs_baseline(thinned),
         "fwd_mpaths_per_s": round(fwd, 3),
-        "fwdbwd_thinned_stride4": round(thinned, 3),
-        "baseline": "this build's round-1 measurement "
-                    "(BENCH_BASELINE.json); reference publishes none",
+        "fwdbwd_exact_stride1": round(exact, 3),
+        "baseline": "BENCH_BASELINE.json = this build's round-1 exact "
+                    "fwd+bwd (12.99; reference publishes none). r2 exact "
+                    "was 12.78 (0.984 — flat, the scatter wall); r3 "
+                    "headline is the stride-4 thinned estimator, promoted "
+                    "on the CONFIGS.md stride-convergence evidence "
+                    "(fastest wall-clock to every eval-loss threshold).",
     }))
 
 

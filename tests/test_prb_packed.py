@@ -459,3 +459,30 @@ def test_environment_gradients_match_autodiff_per_seed():
             np.testing.assert_allclose(b / scale, a / scale, atol=5e-4,
                                        err_msg=f"{name} seed {seed}")
             assert np.abs(a).sum() > 0, name
+
+
+def test_window_storage_modes_agree():
+    """window_storage="tape" (one taped forward sweep) and "forward"
+    (start-state re-simulate) are the same estimator computed two ways —
+    image bit-identical, grads equal to float rounding."""
+    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
+
+    _, packed = _renderers(Volume.sphere_in_cube(16), streams=2)
+    cam = Camera()
+    seeds = jnp.asarray([11, 5021, 90001, 7], jnp.uint32)
+    g_img = jnp.ones((RES, RES, 3))
+    wrt = frozenset({"density", "extinction"})
+    out = {}
+    for storage in ("tape", "forward"):
+        s0 = packed.reset(cam, 3)
+        state, img, g = prb_render_and_grads_many(
+            s0, packed.ctx(cam, 0), seeds, g_img, STEPS, 12, wrt=wrt,
+            window_storage=storage)
+        out[storage] = (np.asarray(img), {k: np.asarray(v)
+                                          for k, v in g.items()})
+    np.testing.assert_array_equal(out["tape"][0], out["forward"][0])
+    for k in wrt:
+        a, b = out["tape"][1][k], out["forward"][1][k]
+        scale = max(np.abs(a).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-6,
+                                   err_msg=k)

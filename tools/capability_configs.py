@@ -364,9 +364,63 @@ def main():
     ]
     lines += [json.dumps(r) for r in rows]
     lines += ["```", ""]
+    lines += _stride_convergence_section()
     with open("CONFIGS.md", "w") as f:
         f.write("\n".join(lines))
     print("wrote CONFIGS.md")
+
+
+def _stride_convergence_section():
+    """Render the config-4 stride-convergence evidence (the BENCH headline
+    promotion rationale) from tools/convergence_stride.json, if present."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "convergence_stride.json")
+    if not os.path.exists(path):
+        return []
+    data = json.load(open(path))
+    rows = data["curves"]
+    floor = min(min(r["eval_loss"]) for r in rows)
+    init_eval = rows[0]["init_eval_loss"]
+    cfg = data["config"]
+    lines = [
+        "## Stride convergence (config 4) — the BENCH headline evidence",
+        "",
+        "tools/convergence_stride.py: density recovery from a smoothed init",
+        f"({cfg['volume']}^3 volume, {cfg['res']}^2, {cfg['dispatches']} "
+        f"dispatches/step, {cfg['iters']} Adam iters, lr {cfg['lr']}), same",
+        "targets and per-iteration seeds for every method. The decisive",
+        "metric is a fixed-seed EVAL loss (off the optimizer clock,",
+        "deterministic given params). autodiff = REINFORCE-surrogate",
+        "autodiff; prb-sK = packed-adjoint window PRB at scatter_stride K.",
+        "",
+        "| method | s/iter | final eval loss | t to 0.5x gap | 0.25x | 0.1x |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        t_iter = r["times"][-1] / len(r["times"])
+        cells = []
+        for frac in (0.5, 0.25, 0.1):
+            thresh = floor + (init_eval - floor) * frac
+            hit = next((t for t, m in zip(r["times"], r["eval_loss"])
+                        if m <= thresh), None)
+            cells.append(f"{hit:.1f}s" if hit is not None else "never")
+        lines.append(
+            f"| {r['method']} | {t_iter:.2f} | {r['eval_loss'][-1]:.6f} | "
+            + " | ".join(cells) + " |")
+    lines += [
+        "",
+        f"Init eval loss {init_eval:.6f}; floor (best any method reached)",
+        f"{floor:.6f}. Verdict: stride 4 reaches every threshold fastest",
+        "(stride 8's ~8x table-grad variance stalls before the deepest",
+        "threshold; stride 1 pays the full scatter wall for no quality",
+        "gain) — stride 4 is the production estimator and the BENCH",
+        "headline. Wall-clock outliers from the shared-tunnel device are",
+        "possible on any single row; the s/iter column is the robust",
+        "comparison. Raw curves: tools/convergence_stride.json.",
+        "",
+    ]
+    return lines
 
 
 if __name__ == "__main__":

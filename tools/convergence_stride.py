@@ -179,7 +179,10 @@ def main():
     print(f"# init density MSE {init_mse:.6f}")
 
     rows = []
-    for kind, stride in (("autodiff", 0), ("prb", 1), ("prb", 2), ("prb", 4)):
+    # stride 8 = one scattered step per 8-step dispatch; the k%stride phase
+    # covers uniformly because dispatches_per_step (8) is a multiple
+    for kind, stride in (("autodiff", 0), ("prb", 1), ("prb", 2), ("prb", 4),
+                         ("prb", 8)):
         r = run_curve(kind, stride, true_density, init_density, target,
                       args.res, args.steps, args.streams, args.iters,
                       args.dispatches, args.lr, seed=7)

@@ -396,7 +396,10 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                              adj_in=None,
                              raw_adjoints: bool = False,
                              cot_in=None,
-                             return_cot: bool = False):
+                             return_cot: bool = False,
+                             forward_only: bool = False,
+                             tape_in=None,
+                             state_out_in=None):
     """Hand-derived gradients of one render dispatch — packed tables.
 
     Requires the standard fast-path ctx: fused (H+1, W+1, 18) material TF
@@ -436,6 +439,13 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     score chains truncate at dispatch boundaries (at extinction ~40 paths
     span many 8-step dispatches, so most credit is dropped — measured
     corr ~0.1 against the autodiff window gradient).
+
+    ``forward_only=True`` runs just the taped forward and returns
+    (state_out, tape); ``tape_in``/``state_out_in`` skip the forward and
+    run the reverse pass on the stored tape — together they let a window
+    backward tape all K dispatches in ONE forward sweep (window_storage=
+    "tape") instead of simulating twice (untaped phase-0 for start states
+    + per-dispatch taped re-simulate).
     """
     assert ctx.material_tf.shape[-1] == 18, "packed backward needs the fused TF"
     assert volume_filter in ("linear", "quasicubic"), (
@@ -564,8 +574,13 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
             tape["vfx"], tape["vfy"], tape["vfz"] = vfx, vfy, vfz
         return (p2, rng2), tape
 
-    (state_out, _), tape = jax.lax.scan(fwd_body, (state0, rng0), None,
-                                        length=steps)
+    if tape_in is None:
+        (state_out, _), tape = jax.lax.scan(fwd_body, (state0, rng0), None,
+                                            length=steps)
+    else:
+        state_out, tape = state_out_in, tape_in
+    if forward_only:
+        return state_out, tape
 
     # ---- image cotangent -> per-deposit cotangent (as the raw path) ------
     cm = jnp.asarray(XYZ_TO_SRGB_KERNEL) @ ctx.bin_xyz  # (3, B)
@@ -849,6 +864,82 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
     return _contract_packed_adjoints(acc, ctx, wrt)
 
 
+def _tape_forward_sweep(state0, ctx, seeds, steps, n_bins, volume_filter,
+                        wrt):
+    """One taped forward scan over the K dispatches, stacking per-dispatch
+    tapes (K x steps x lanes fields in HBM). Returns
+    (state_f, tapes, image, m_final)."""
+    def body_f(state, seed):
+        state2, tape = spectral_backward_packed(
+            state, ctx._replace(seed_bits=seed), None, steps, n_bins,
+            volume_filter, wrt=wrt, forward_only=True)
+        return state2, tape
+
+    state_f, tapes = jax.lax.scan(body_f, state0, seeds)
+    image = M.radiance_to_rgb(state_f.radiance, ctx.bin_xyz)
+    m_final = jnp.maximum(state_f.samples, 1).astype(jnp.float32)
+    return state_f, tapes, image, m_final
+
+
+def _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final, g_image,
+                        steps, n_bins, volume_filter, wrt, scatter_stride):
+    """Reverse dispatch scan over stored tapes with the cotangent carry
+    threaded across boundaries; contracts the packed adjoints once."""
+    ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
+    zero = jnp.zeros_like(state0.px)
+    cot0 = dict(c=zero, cb=zero)
+    adj0 = _packed_adj_init(ctx, wrt)
+
+    def body_b(carry, inp):
+        cot, adj = carry
+        tape_k, seed, k = inp
+        c = ctx._replace(seed_bits=seed)
+        phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+        _, _, adj, cot = spectral_backward_packed(
+            state0, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
+            scatter_stride=scatter_stride, scatter_phase=phase,
+            m_final=m_final, adj_in=adj, raw_adjoints=True,
+            cot_in=cot, return_cot=True,
+            tape_in=tape_k, state_out_in=state_f)
+        return (cot, adj), None
+
+    (_, acc), _ = jax.lax.scan(body_b, (cot0, adj0), (tapes, seeds, ks),
+                               reverse=True)
+    return _contract_packed_adjoints(acc, ctx, wrt)
+
+
+def _prb_many_tape(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
+                   wrt, scatter_stride):
+    """Window backward with TAPE storage: one taped forward sweep + one
+    reverse sweep over stored tapes — one simulate total instead of the
+    forward-storage mode's two (phase-0 + taped re-simulate). Returns
+    (state_f, image, grads); window-final m_final and cotangent threading
+    as in _prb_many_core(starts=...)."""
+    state_f, tapes, image, m_final = _tape_forward_sweep(
+        state0, ctx, seeds, steps, n_bins, volume_filter, wrt)
+    grads = _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final,
+                                g_image, steps, n_bins, volume_filter, wrt,
+                                scatter_stride)
+    return state_f, image, grads
+
+
+# above this many bytes of stacked tape, window_storage="auto" falls back
+# to the forward-storage (re-simulate) mode; v5e has 16 GB HBM and the
+# biggest co-resident tenant is the 256^3 packed adjoint (544 MB)
+_TAPE_AUTO_LIMIT_BYTES = 6 * 1024**3
+
+
+def _window_tape_bytes(state0, steps, n_dispatches, wrt):
+    """Static estimate of the stacked-tape HBM footprint."""
+    lanes = int(np.prod(state0.px.shape))
+    n_fields = 12  # base: emitted/respawn/pre_bin/alpha/albedo/g/hg_cos/...
+    if "density" in wrt:
+        n_fields += 7  # slopes(3) + vf(3) + vol_row0 (+row1 xy: ~same)
+    if "material_tf" in wrt or "light_spectrum" in wrt:
+        n_fields += 3
+    return lanes * steps * n_dispatches * n_fields * 4
+
+
 def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
                     with_states: bool):
     """Untaped K-dispatch forward: (m_final, image, start_states, state_f).
@@ -888,12 +979,13 @@ def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride", "window"))
+                     "scatter_stride", "window", "window_storage"))
 def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
                               n_bins: int, volume_filter: str = "linear",
                               wrt: frozenset = ALL_WRT,
                               scatter_stride: int = 1,
-                              window: bool = True):
+                              window: bool = True,
+                              window_storage: str = "auto"):
     """K taped fwd+bwd dispatches in one device program:
     (state_out, image, grads) with grads summed over the window and
     addressing the raw tables. ``seeds``: (K,) uint32 per-dispatch frame
@@ -913,11 +1005,24 @@ def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
     per-dispatch counts. This is what an optimizer stepping once per
     dispatch computes; kept for composition tests and benchmarking the
     no-phase-0 shape.
+
+    ``window_storage``: "tape" stores all K dispatch tapes from ONE taped
+    forward sweep (fastest — saves a full re-simulate; K x steps x lanes
+    HBM); "forward" stores only per-dispatch start states and re-simulates
+    each dispatch taped during the reverse scan (low memory); "auto"
+    picks "tape" while the stacked tape stays under ~6 GB.
     """
     wrt = frozenset(wrt)
     if not window:
         return _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
                               volume_filter, wrt, scatter_stride, None)
+    if window_storage == "auto":
+        window_storage = (
+            "tape" if _window_tape_bytes(state0, steps, seeds.shape[0], wrt)
+            <= _TAPE_AUTO_LIMIT_BYTES else "forward")
+    if window_storage == "tape":
+        return _prb_many_tape(state0, ctx, seeds, g_image, steps, n_bins,
+                              volume_filter, wrt, scatter_stride)
     m_final, image, starts, state_f = _window_forward(
         state0, ctx, seeds, steps, n_bins, volume_filter, with_states=True)
     grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
@@ -929,11 +1034,12 @@ def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride"))
+                     "scatter_stride", "window_storage"))
 def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
                        volume_filter: str = "linear",
                        wrt: frozenset = frozenset({"density"}),
-                       scatter_stride: int = 1):
+                       scatter_stride: int = 1,
+                       window_storage: str = "auto"):
     """MSE loss + hand-derived gradients over a K-dispatch render window —
     the packed-PRB analog of ``jax.value_and_grad(spectral_render_loss)``
     (optim.py), and the engine behind optim.fit_spectral(method="prb").
@@ -949,11 +1055,24 @@ def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
     (tests/test_prb_packed.py::test_window_matches_autodiff_multi_dispatch).
     """
     wrt = frozenset(wrt)
-    m_final, image, starts, state_f = _window_forward(
-        state0, ctx, seeds, steps, n_bins, volume_filter, with_states=True)
-    g_image = 2.0 * (image - target) / jnp.float32(image.size)
-    grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
-                           volume_filter, wrt, scatter_stride, m_final,
-                           starts=starts)
+    if window_storage == "auto":
+        window_storage = (
+            "tape" if _window_tape_bytes(state0, steps, seeds.shape[0], wrt)
+            <= _TAPE_AUTO_LIMIT_BYTES else "forward")
+    if window_storage == "tape":
+        state_f, tapes, image, m_final = _tape_forward_sweep(
+            state0, ctx, seeds, steps, n_bins, volume_filter, wrt)
+        g_image = 2.0 * (image - target) / jnp.float32(image.size)
+        grads = _tape_reverse_sweep(
+            state0, ctx, seeds, tapes, state_f, m_final, g_image, steps,
+            n_bins, volume_filter, wrt, scatter_stride)
+    else:
+        m_final, image, starts, state_f = _window_forward(
+            state0, ctx, seeds, steps, n_bins, volume_filter,
+            with_states=True)
+        g_image = 2.0 * (image - target) / jnp.float32(image.size)
+        grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
+                               volume_filter, wrt, scatter_stride, m_final,
+                               starts=starts)
     loss = jnp.mean((image - target) ** 2)
     return state_f, image, loss, grads
