@@ -808,6 +808,20 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
 # Multi-dispatch (scan-batched) packed PRB — the production fwd+bwd shape
 # ==========================================================================
 
+def _dispatch_phase(k, seed, n_dispatches, scatter_stride):
+    """Thinning phase for window dispatch k. Deterministic k % stride when
+    the window covers every phase uniformly (K % stride == 0); otherwise
+    the per-dispatch frame seed picks the phase — random but unbiased in
+    expectation over seeds, so short windows (e.g. an optimizer with
+    dispatches_per_step < stride) never systematically skip step phases
+    (k % stride with ks resetting every window would scatter only phases
+    0..K-1 forever)."""
+    stride = jnp.uint32(max(scatter_stride, 1))
+    if scatter_stride <= 1 or n_dispatches % scatter_stride == 0:
+        return (k % stride).astype(jnp.int32)
+    return (seed % stride).astype(jnp.int32)
+
+
 def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
                    wrt, scatter_stride, m_final, starts=None):
     """Scan the packed-adjoint backward over K per-dispatch seeds inside one
@@ -833,7 +847,8 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
             state, adj = carry
             seed, k = inp
             c = ctx._replace(seed_bits=seed)
-            phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+            phase = _dispatch_phase(k, seed, seeds.shape[0],
+                                    scatter_stride)
             state, _, adj = spectral_backward_packed(
                 state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
                 scatter_stride=scatter_stride, scatter_phase=phase,
@@ -851,7 +866,7 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
         cot, adj = carry
         st_k, seed, k = inp
         c = ctx._replace(seed_bits=seed)
-        phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+        phase = _dispatch_phase(k, seed, seeds.shape[0], scatter_stride)
         _, _, adj, cot = spectral_backward_packed(
             st_k, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
             scatter_stride=scatter_stride, scatter_phase=phase,
@@ -894,7 +909,7 @@ def _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final, g_image,
         cot, adj = carry
         tape_k, seed, k = inp
         c = ctx._replace(seed_bits=seed)
-        phase = (k % jnp.uint32(max(scatter_stride, 1))).astype(jnp.int32)
+        phase = _dispatch_phase(k, seed, seeds.shape[0], scatter_stride)
         _, _, adj, cot = spectral_backward_packed(
             state0, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
             scatter_stride=scatter_stride, scatter_phase=phase,

@@ -290,7 +290,7 @@ def fit_spectral(
     seed: int = 0,
     progress=None,
     method: str | None = None,
-    scatter_stride: int = 1,
+    scatter_stride: int = 4,
     checkpoint: str | None = None,
     checkpoint_every: int = 25,
 ):
