@@ -230,13 +230,19 @@ def config5():
 
 
 def config_sparse():
-    """The majorant mode's capability scene (VERDICT r2 #4): 512^3 at ~1%
+    """The majorant mode's capability scene (VERDICT r2 #4): 512^3 at ~0.2%
     occupancy — a few small dense spheres in empty space. In this regime
     paths delta-track their way across near-empty space at the global rate
     (steps-per-path ~ extinction * path length), so the per-cell
-    (majorant, validity-range) table (ops/majorant) should win big; on the
-    dense bench scenes it is a measured net loss (ARCHITECTURE.md) and the
-    exact path stays the default."""
+    (majorant, validity-range) table (ops/majorant) wins big.
+
+    The camera FILLS the frustum with the cube (translation z=1.2): with
+    the default z=2 pose ~2/3 of pixels never intersect the volume, and
+    those miss lanes complete a trivial one-step "path" every step
+    (reference-faithful: oob -> deposit light -> respawn), so Mpaths/s
+    measures miss-lane churn, not transport — the majorant mode measured
+    as a LOSS on the sparse scene until the frustum was filled (0.72x ->
+    5x, ARCHITECTURE.md "what Mpaths/s counts")."""
     import jax.numpy as jnp
 
     from vpt_tpu.models import mcm_spectral as M
@@ -255,10 +261,11 @@ def config_sparse():
     occupancy = float((np.asarray(vol.density) > 0).mean())
 
     out = dict(config="sparse",
-               desc="512^3 sparse scene (~{:.2%} occupancy) 512^2, "
-                    "exact vs super-voxel majorant".format(occupancy))
+               desc="512^3 sparse scene (~{:.2%} occupancy) 512^2 "
+                    "frustum-filling camera, exact vs super-voxel "
+                    "majorant".format(occupancy))
     imgs = {}
-    for label, maj in (("exact", None), ("majorant", 8)):
+    for label, maj in (("exact", None), ("majorant", 16)):
         r = M.MCMSpectralRenderer(
             vol, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
             SpectrumConfig(),
@@ -267,7 +274,7 @@ def config_sparse():
             pack_tables={"density_xy", "material_tf", "light_spectrum"},
             majorant_blocks=maj,
         )
-        cam = Camera()
+        cam = Camera(translation=np.array([0.0, 0.0, 1.2]))
         ctx = r.ctx(cam, 1)
         state = r.reset(cam, 1)
         batch = 16
