@@ -156,20 +156,26 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
         g_img = jnp.ones((resolution, resolution, 3), jnp.float32)
         wrt = frozenset({"density"})
         n = max(4, spp // (steps * streams))
-        for label, stride in (("grad_stride4", 4), ("grad", 1)):
+        for label, stride in (("grad_stride4", 4), ("grad_stride8", 8),
+                              ("grad", 1)):
+            def window(st, lo):
+                # warm and timed calls use the SAME window size K=n — a
+                # different K is a different jitted program, and warming
+                # with K=1 put a fresh remote compile inside the timed
+                # region (measured 3.6 "Mpaths/s" vs the real 16.3 at
+                # 256^3 stride 4 — tools/grad256_profile.py)
+                seeds = jnp.asarray(
+                    [(lo + k) * 2654435761 % 2**32 for k in range(n)],
+                    jnp.uint32)
+                return prb_render_and_grads_many(
+                    st, ctx, seeds, g_img, steps, 12, wrt=wrt,
+                    scatter_stride=stride)
             st = renderer.reset(cam, 1)
-            seeds = jnp.asarray([2654435761 % 2**32], jnp.uint32)
-            st, img, g = prb_render_and_grads_many(
-                st, ctx, seeds, g_img, steps, 12, wrt=wrt,
-                scatter_stride=stride)
+            st, img, g = window(st, 2)
             _sync(g["density"])
             s0 = _sync(st.samples)
-            seeds = jnp.asarray(
-                [(k + 2) * 2654435761 % 2**32 for k in range(n)], jnp.uint32)
             t0 = time.perf_counter()
-            st, img, g = prb_render_and_grads_many(
-                st, ctx, seeds, g_img, steps, 12, wrt=wrt,
-                scatter_stride=stride)
+            st, img, g = window(st, n + 2)
             _sync(g["density"])
             dt = time.perf_counter() - t0
             paths = _sync(st.samples) - s0
@@ -183,6 +189,14 @@ def _spectral(volume_size, resolution, spp, steps=8, streams=4, grads=False,
             })
         out["grad_dispatches"] = n
         out["grad_mpaths_per_s"] = out["grad_stride4_mpaths_per_s"]
+        # the measured wall split at this size (VERDICT r2 #2): cost(k) =
+        # base + scatter/k ms per window, solved from the stride pair
+        t1 = out["grad_seconds"]
+        t4 = out["grad_stride4_seconds"]
+        scatter = (t1 - t4) / 0.75
+        out["grad_wall_split"] = dict(
+            window_ms_base=round((t1 - scatter) * 1000, 1),
+            window_ms_scatter_stride1=round(scatter * 1000, 1))
         return out
 
     batch = 16

@@ -1,9 +1,13 @@
-"""Profile the 256^3 window-backward regression (config 3 grads).
+"""Profile the 256^3 window-backward cost structure (config 3 grads).
 
-Measured facts to explain: at 256^3 / 512^2 x 4 streams the window
-backward runs ~3.6 Mpaths/s at BOTH stride 1 and stride 4 (stride
-insensitivity = scatters are NOT the wall there), while the same code at
-128^3 runs 12.8 / 32.2. Variants timed (4-dispatch windows, density-only):
+Origin: capability_configs once reported ~3.6 Mpaths/s at BOTH stride 1
+and stride 4 here — resolved as a harness bug (it warmed a K=1 window and
+timed a K=4 window, so the timed region contained a fresh remote
+compile). The real numbers from this tool: stride 1 tape 3506 ms/window,
+stride 4 1362 (16.3 Mpaths/s) — cost(k) = 647 + 2859/k ms per 4-dispatch
+window, i.e. the big-adjoint scatter tier dominates at stride 1 and is
+~2.2x the remaining base at stride 4. Variants timed (4-dispatch windows,
+density-only):
 
   window=False            — per-dispatch truncated mode (r2's shape)
   window tape / forward   — the two window storages
@@ -17,6 +21,7 @@ Run: python tools/grad256_profile.py [--volume 256] [--reps 3]
 """
 
 import argparse
+import functools
 import sys
 import time
 
@@ -64,11 +69,13 @@ def main():
     def timed(label, fn):
         state0 = r.reset(cam, 1)
         out = fn(state0)  # compile+warm
-        jax.block_until_ready(jax.tree.leaves(out)[-1])
+        # sync via a reduction fetch: block_until_ready can return before
+        # execution completes through the async relay (ARCHITECTURE.md)
+        float(jnp.sum(jax.tree.leaves(out)[-1]))
         t0 = time.perf_counter()
         for _ in range(args.reps):
             out = fn(r.reset(cam, 1))
-        jax.block_until_ready(jax.tree.leaves(out)[-1])
+        float(jnp.sum(jax.tree.leaves(out)[-1]))
         dt = (time.perf_counter() - t0) / args.reps
         # paths/s: sample count of one window
         st = out[0]
@@ -89,9 +96,12 @@ def main():
                                              scatter_stride=k,
                                              window_storage=st)))
 
-    # isolate the contraction: tape mode, raw adjoints (no contraction)
-    @jax.jit
-    def tape_raw(state0):
+    # isolate the contraction: tape mode, raw adjoints (no contraction).
+    # ctx/seeds/g_img ride as ARGUMENTS — closing over them serializes the
+    # arrays into the lowered module and the remote compiler rejects the
+    # oversized request (HTTP 413) / lowers pathologically slowly
+    @functools.partial(jax.jit, static_argnames=())
+    def tape_raw_impl(state0, ctx, seeds, g_img):
         state_f, tapes, image, m_final = SB._tape_forward_sweep(
             state0, ctx, seeds, args.steps, 12, "linear", wrt)
         ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
@@ -114,7 +124,8 @@ def main():
                                    reverse=True)
         return state_f, acc["g_vol"]
 
-    timed("tape raw-adjoints (no contraction)", tape_raw)
+    timed("tape raw-adjoints (no contraction)",
+          lambda s0: tape_raw_impl(s0, ctx, seeds, g_img))
 
     # isolate the contraction alone
     from vpt_tpu.ops import interp
