@@ -170,3 +170,59 @@ def test_mcs_majorant_statistical_parity(scene):
     diff = np.abs(a - m).mean()
     assert np.isfinite(m).all()
     assert diff < 2.0 * floor + 1e-4, (diff, floor)
+
+
+def test_mcs_persistent_matches_frames(scene):
+    """Persistent-lane MCS converges to the frame-based (reference-exact)
+    image: same single-scattering estimand, different variance structure
+    (per-sample scatter directions instead of per-frame), judged against
+    the frame path's own seed-to-seed noise floor."""
+    vol, cam = scene
+
+    def frames(seed, n=160):
+        r = make_renderer("mcs", vol, _tf(), None, extinction=20.0,
+                          resolution=RES)
+        state = r.reset(cam)
+        seeds = [(seed + k + 1) * 2654435761 % 2**32 for k in range(n)]
+        state, img = r.render_many(state, cam, seeds)
+        return np.asarray(img)
+
+    def persistent(seed, dispatches=60):
+        r = make_renderer("mcs", vol, _tf(), None, extinction=20.0,
+                          resolution=RES, persistent=True, steps=32)
+        state = r.reset(cam)
+        seeds = [(seed + k + 1) * 2654435761 % 2**32
+                 for k in range(dispatches)]
+        state, img = r.render_many(state, cam, seeds)
+        assert int(np.asarray(state.samples).min()) > 0
+        return np.asarray(img)
+
+    a = frames(1)
+    b = frames(991)  # noise-floor pair
+    p = persistent(7)
+    floor = np.abs(a - b).mean()
+    diff = np.abs(a - p).mean()
+    assert np.isfinite(p).all()
+    assert diff < 2.0 * floor + 1e-4, (diff, floor)
+
+
+def test_mcs_persistent_deterministic_and_majorant(scene):
+    """Same seeds -> bit-identical persistent renders; the majorant mode
+    stays statistically exact on the persistent path too."""
+    vol, cam = scene
+
+    def run(maj, seed=5, dispatches=40):
+        r = make_renderer("mcs", vol, _tf(), None, extinction=20.0,
+                          resolution=RES, persistent=True, steps=32,
+                          majorant_blocks=maj)
+        state = r.reset(cam)
+        seeds = [(seed + k + 1) * 2654435761 % 2**32
+                 for k in range(dispatches)]
+        state, img = r.render_many(state, cam, seeds)
+        return np.asarray(img)
+
+    np.testing.assert_array_equal(run(None), run(None))
+    a, b = run(None, seed=5, dispatches=80), run(None, seed=991, dispatches=80)
+    m = run(4, seed=5, dispatches=80)
+    floor = np.abs(a - b).mean()
+    assert np.abs(a - m).mean() < 2.0 * floor + 1e-4

@@ -78,11 +78,15 @@ def config2():
     )
 
     # -- aux: MCS (reference-exact single-scatter algorithm) ---------------
-    # exact global-rate path AND the majorant-informed mode (statistically
-    # exact; collapses the straggler-lane while_loop trips — the r2 weakness
-    # was 0.48 Mrays/s with every frame gated on the slowest lane's
-    # ~extinction*path_length null-collision chain). Both scan-batched
-    # through render_many.
+    # Three tiers (tools/mcs_profile.py + ARCHITECTURE.md "MCS"):
+    #   mcs            — reference-exact frame loops (every frame gated on
+    #                    the slowest lane's collision chain: per-lane mean
+    #                    12.5 trips vs max 57 measured)
+    #   mcs_majorant   — same loops with super-voxel majorants (halves the
+    #                    trips; the frame gate still dominates)
+    #   mcs_persistent — the TPU-idiomatic persistent-lane megakernel
+    #                    (streams=4 + majorants): zero straggler wait,
+    #                    statistically identical converged image
     for label, maj in (("mcs", None), ("mcs_majorant", 8)):
         r2 = MCSRenderer(vol, extinction=50.0, resolution=512,
                          majorant_blocks=maj)
@@ -101,6 +105,25 @@ def config2():
             f"{label}_finite": bool(np.isfinite(mdn).all()),
             f"{label}_mean": float(mdn.mean()),
         })
+
+    rp = MCSRenderer(vol, extinction=50.0, resolution=512,
+                     majorant_blocks=8, persistent=True, steps=8, streams=4)
+    state = rp.reset(cam, 0)
+    warm = [(f + 1) * 2654435761 % 2**32 for f in range(16)]
+    state, img = rp.render_many(state, cam, warm)
+    s0 = _sync(state.samples)
+    t0 = time.perf_counter()
+    state, img = rp.render_many(
+        state, cam, [(f + 17) * 2654435761 % 2**32 for f in range(16)])
+    rays = _sync(state.samples) - s0
+    dt = time.perf_counter() - t0
+    mdn = np.asarray(img)
+    out.update(
+        mcs_persistent_seconds=round(dt, 3),
+        mcs_persistent_mrays_per_s=round(rays / dt / 1e6, 2),
+        mcs_persistent_finite=bool(np.isfinite(mdn).all()),
+        mcs_persistent_mean=float(mdn.mean()),
+    )
     return out
 
 

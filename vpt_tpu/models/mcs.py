@@ -300,7 +300,18 @@ def _host_scatter_direction(seed: int):
 class MCSRenderer:
     def __init__(self, volume, tf2d=None, environment=None,
                  extinction: float = 1.0, max_collisions: int = 1024,
-                 resolution: int = 512, majorant_blocks: int | None = None):
+                 resolution: int = 512, majorant_blocks: int | None = None,
+                 persistent: bool = False, steps: int = 32,
+                 streams: int = 1):
+        """``persistent=True`` switches render/render_many to the
+        persistent-lane megakernel (MCSPersistentState): same converged
+        expectation, ~20-40x the throughput of the reference-exact
+        frame loops (which straggler-gate every frame on the slowest
+        lane's collision chain); ``steps`` = lane iterations per dispatch
+        in that mode."""
+        self.persistent = persistent
+        self.steps = steps
+        self.streams = streams
         from vpt_tpu.scene.tf import TransferFunction2D
 
         self.volume = volume
@@ -351,12 +362,41 @@ class MCSRenderer:
         )
 
     def reset(self, camera, seed: int = 0):
+        if self.persistent:
+            n = self.resolution
+            shape = ((self.streams, n, n) if self.streams > 1 else (n, n))
+            # distinct buffers per field: the dispatch donates the state, and
+            # aliased leaves would be donated twice (an XLA error)
+            z = lambda: jnp.zeros(shape, jnp.float32)
+            return MCSPersistentState(
+                phase=jnp.zeros(shape, bool), dist=z(),
+                trans=jnp.ones(shape, jnp.float32),
+                sdx=z(), sdy=z(), sdz=jnp.ones(shape, jnp.float32),
+                smax=z(), scx=z(), scy=z(), scz=z(),
+                dr=z(), dg=z(), db=z(), da=z(),
+                acc=jnp.zeros(shape + (4,), jnp.float32),
+                samples=jnp.zeros(shape, jnp.int32))
         return dict(
             acc=jnp.zeros((self.resolution, self.resolution, 4), jnp.float32),
             frame=jnp.zeros((), jnp.int32),
         )
 
+    def _persistent_image(self, state):
+        """Sample-count-weighted mean over streams (streams have unequal
+        completed-sample counts at any finite step)."""
+        if self.streams == 1:
+            return state.acc[..., :3]
+        w = state.samples.astype(jnp.float32)[..., None]
+        tot = jnp.maximum(jnp.sum(w, axis=0), 1.0)
+        return jnp.sum(state.acc[..., :3] * w, axis=0) / tot
+
     def render(self, state, camera, seed: int):
+        if self.persistent:
+            state = mcs_persistent_dispatch(
+                state, self.ctx(camera, seed), resolution=self.resolution,
+                steps=self.steps, volume_filter=self.volume.filter,
+                streams=self.streams)
+            return state, self._persistent_image(state)
         frame_img = mcs_frame(
             self.ctx(camera, seed), resolution=self.resolution,
             max_collisions=self.max_collisions, volume_filter=self.volume.filter,
@@ -369,6 +409,12 @@ class MCSRenderer:
         """K frames in one device program (mcs_frames): per-frame seeds and
         host-derived scatter directions ride a scan."""
         seeds = np.asarray(seeds, np.uint32)
+        if self.persistent:
+            state = mcs_persistent_many(
+                state, self.ctx(camera, int(seeds[0])), jnp.asarray(seeds),
+                resolution=self.resolution, steps=self.steps,
+                volume_filter=self.volume.filter, streams=self.streams)
+            return state, self._persistent_image(state)
         dirs = np.stack([_host_scatter_direction(int(s)) for s in seeds])
         acc, frame = mcs_frames(
             self.ctx(camera, int(seeds[0])),
@@ -378,3 +424,211 @@ class MCSRenderer:
             volume_filter=self.volume.filter,
         )
         return dict(acc=acc, frame=frame), acc[..., :3]
+
+
+# ==========================================================================
+# Persistent-lane MCS — the TPU-idiomatic fast path
+# ==========================================================================
+
+class MCSPersistentState(NamedTuple):
+    """Per-lane single-scatter state machine (one persistent lane per pixel).
+
+    The frame-based path above is reference-exact but structurally hostile
+    to TPU: each frame runs two straggler-gated while_loops (measured at
+    512^2: per-lane mean 12.5 distance trips vs max 57 — every frame pays
+    the max; tools/mcs_profile.py), and a finished lane idles until the
+    slowest one exits. Persistent lanes are the spectral megakernel's
+    answer applied to MCS: a fixed-trip fori_loop in which every lane that
+    finishes a sample deposits into its incremental mean and immediately
+    starts the next one — zero straggler wait, every lane-step useful.
+
+    Estimator: same single-scattering expectation as the reference
+    (Woodcock distance -> diffuse * light * ratio-tracked transmittance;
+    MCSRenderer.glsl:70-137) with one variance-structure difference: the
+    scattering (light) direction is drawn PER SAMPLE on the lane
+    (uniform sphere — the same unit-ball-normalized distribution the host
+    rejection sampler produces) instead of once per frame for all pixels,
+    so converged images match (test_mcs_persistent_matches_frames) but
+    per-frame images are not comparable seed-to-seed.
+    """
+
+    phase: jax.Array    # bool: False = distance sampling, True = shadow ray
+    dist: jax.Array     # world distance traveled in the current segment
+    trans: jax.Array    # running transmittance (shadow phase)
+    sdx: jax.Array      # per-sample scatter (light) direction
+    sdy: jax.Array
+    sdz: jax.Array
+    smax: jax.Array     # shadow segment length
+    scx: jax.Array      # scatter point
+    scy: jax.Array
+    scz: jax.Array
+    dr: jax.Array       # diffuse RGBA cached at the scatter point
+    dg: jax.Array
+    db: jax.Array
+    da: jax.Array
+    acc: jax.Array      # (H, W, 4) incremental-mean RGBA
+    samples: jax.Array  # int32 per-lane completed samples
+
+
+def _mcs_persistent_dispatch_impl(state: MCSPersistentState, ctx: MCSCtx,
+                                  resolution: int, steps: int,
+                                  volume_filter: str, streams: int = 1):
+    """``steps`` persistent lane iterations (one device program).
+
+    ``streams``: S independent sample chains per pixel (lane shape
+    (S, H, W)) — the spectral kernel's lane-widening trick: per-gather-op
+    cost is strongly sub-linear in lane count, so S>1 multiplies samples
+    per wall-clock nearly for free at moderate resolutions. Stream s seeds
+    its chain as pixel row (y + s*resolution), the chain a taller
+    framebuffer would use."""
+    from vpt_tpu.models.raymarch import camera_rays
+
+    frm, to = camera_rays(resolution, ctx.inv_mvp)
+    ddx, ddy, ddz = geometry.normalize3(
+        to[0] - frm[0], to[1] - frm[1], to[2] - frm[2])
+    tn, tf_ = geometry.intersect_cube(
+        frm[0], frm[1], frm[2], to[0] - frm[0], to[1] - frm[1], to[2] - frm[2])
+    tn = jnp.maximum(tn, 0.0)
+    tf_ = jnp.maximum(tf_, 0.0)
+    entry = (frm[0] + (to[0] - frm[0]) * tn,
+             frm[1] + (to[1] - frm[1]) * tn,
+             frm[2] + (to[2] - frm[2]) * tn)
+    exit_ = (frm[0] + (to[0] - frm[0]) * tf_,
+             frm[1] + (to[1] - frm[1]) * tf_,
+             frm[2] + (to[2] - frm[2]) * tf_)
+    seg = (exit_[0] - entry[0], exit_[1] - entry[1], exit_[2] - entry[2])
+    max_dist = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2 + seg[2] ** 2)
+    inv_md = 1.0 / jnp.maximum(max_dist, 1e-30)
+    rdx, rdy, rdz = seg[0] * inv_md, seg[1] * inv_md, seg[2] * inv_md
+    env3 = sample_environment(ctx.environment, ddx, ddy, ddz)
+    env4 = jnp.concatenate([env3, jnp.ones_like(env3[..., :1])], axis=-1)
+
+    lane_shape = ((streams, resolution, resolution) if streams > 1
+                  else (resolution, resolution))
+    if streams > 1:
+        bc = lambda a: jnp.broadcast_to(a[None], lane_shape)
+        entry = tuple(bc(e) for e in entry)
+        max_dist = bc(max_dist)
+        rdx, rdy, rdz = bc(rdx), bc(rdy), bc(rdz)
+        env4 = jnp.broadcast_to(env4[None],
+                                lane_shape + (env4.shape[-1],))
+        iy = jax.lax.broadcasted_iota(jnp.float32, lane_shape, 1)
+        ix = jax.lax.broadcasted_iota(jnp.float32, lane_shape, 2)
+        s_idx = jax.lax.broadcasted_iota(jnp.float32, lane_shape, 0)
+        seed_row = iy + s_idx * resolution
+    else:
+        iy = jax.lax.broadcasted_iota(jnp.float32, lane_shape, 0)
+        ix = jax.lax.broadcasted_iota(jnp.float32, lane_shape, 1)
+        seed_row = iy
+    u = ((ix + 0.5) / resolution).astype(jnp.float32)
+    v = ((seed_row + 0.5) / resolution).astype(jnp.float32)
+    rng0 = sampling.hash3(
+        jax.lax.bitcast_convert_type(u, jnp.uint32),
+        jax.lax.bitcast_convert_type(v, jnp.uint32),
+        jnp.broadcast_to(ctx.seed_bits, u.shape))
+
+    all_mask = jnp.ones(u.shape, bool)
+
+    def body(_, carry):
+        p, rng = carry
+        shadow = p.phase
+        # current segment: camera segment (phase 0) or shadow ray (phase 1)
+        bx = jnp.where(shadow, p.scx, entry[0])
+        by = jnp.where(shadow, p.scy, entry[1])
+        bz = jnp.where(shadow, p.scz, entry[2])
+        dx = jnp.where(shadow, p.sdx, rdx)
+        dy = jnp.where(shadow, p.sdy, rdy)
+        dz = jnp.where(shadow, p.sdz, rdz)
+        seg_max = jnp.where(shadow, p.smax, max_dist)
+
+        if ctx.majorant is not None:
+            m, cap = _majorant_lookup(
+                ctx, bx + dx * p.dist, by + dy * p.dist, bz + dz * p.dist)
+            rng, step = sampling.draw_exponential(rng, all_mask,
+                                                  ctx.extinction * m)
+            capped = step >= cap
+            step = jnp.minimum(step, cap)
+        else:
+            m = jnp.ones_like(p.dist)
+            rng, step = sampling.draw_exponential(rng, all_mask, ctx.extinction)
+            capped = jnp.zeros(step.shape, bool)
+
+        dist2 = p.dist + step
+        escaped = dist2 > seg_max
+        px = bx + dx * dist2
+        py = by + dy * dist2
+        pz = bz + dz * dist2
+        tf4 = _sample_tf(ctx, px, py, pz, volume_filter)
+        alpha = jnp.minimum(tf4[..., 3] / m, 1.0)
+        tentative = (~escaped) & (~capped)
+        # the wheel decides real collisions in the DISTANCE phase only; the
+        # shadow phase is ratio tracking — every tentative collision
+        # multiplies (1 - alpha), no acceptance draw (_woodcock_transmittance)
+        rng, wheel = sampling.draw(rng, all_mask & ~shadow)
+
+        # ---- phase-0 collision: become a shadow ray --------------------
+        scatter = (~shadow) & tentative & (wheel < alpha)
+        rng, (nsx, nsy, nsz) = sampling.draw_sphere(rng, all_mask)
+        _, sfar = geometry.intersect_cube(
+            px, py, pz, nsx, nsy, nsz)
+        sfar = jnp.maximum(sfar, 0.0)
+
+        # ---- deposits --------------------------------------------------
+        esc0 = (~shadow) & escaped              # missed / crossed: env color
+        esc1 = shadow & escaped                 # shadow ray out: shade
+        light3 = sample_environment(ctx.environment, p.sdx, p.sdy, p.sdz)
+        shaded = jnp.stack([p.dr * light3[..., 0], p.dg * light3[..., 1],
+                            p.db * light3[..., 2], p.da], axis=-1) \
+            * p.trans[..., None]
+        deposit = esc0 | esc1
+        value = jnp.where(esc0[..., None], env4, shaded)
+        samples = p.samples + deposit.astype(jnp.int32)
+        denom = jnp.maximum(samples, 1).astype(jnp.float32)[..., None]
+        acc = jnp.where(deposit[..., None],
+                        p.acc + (value - p.acc) / denom, p.acc)
+
+        # ---- next lane state -------------------------------------------
+        shadow_hit = shadow & tentative         # ratio-tracking factor
+        trans = jnp.where(shadow_hit, p.trans * (1.0 - alpha), p.trans)
+        new_phase = jnp.where(deposit, False, jnp.where(scatter, True, shadow))
+        new_dist = jnp.where(deposit | scatter, 0.0, dist2)
+        trans = jnp.where(scatter, 1.0, jnp.where(deposit, 1.0, trans))
+        sel = lambda a, b: jnp.where(scatter, a, b)
+        out = MCSPersistentState(
+            phase=new_phase, dist=new_dist, trans=trans,
+            sdx=sel(nsx, p.sdx), sdy=sel(nsy, p.sdy), sdz=sel(nsz, p.sdz),
+            smax=sel(sfar, p.smax),
+            scx=sel(px, p.scx), scy=sel(py, p.scy), scz=sel(pz, p.scz),
+            dr=sel(tf4[..., 0], p.dr), dg=sel(tf4[..., 1], p.dg),
+            db=sel(tf4[..., 2], p.db), da=sel(tf4[..., 3], p.da),
+            acc=acc, samples=samples)
+        return (out, rng)
+
+    state, _ = jax.lax.fori_loop(0, steps, body, (state, rng0))
+    return state
+
+
+mcs_persistent_dispatch = functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "steps", "volume_filter", "streams"),
+    donate_argnames=("state",),
+)(_mcs_persistent_dispatch_impl)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("resolution", "steps", "volume_filter", "streams"),
+    donate_argnames=("state",))
+def mcs_persistent_many(state: MCSPersistentState, ctx: MCSCtx, seeds,
+                        resolution: int, steps: int,
+                        volume_filter: str = "linear", streams: int = 1):
+    """K dispatches in one device program (per-dispatch reseed, like
+    mcm_spectral.render_many)."""
+    def body(p, seed):
+        p = _mcs_persistent_dispatch_impl(
+            p, ctx._replace(seed_bits=seed), resolution, steps,
+            volume_filter, streams)
+        return p, None
+
+    state, _ = jax.lax.scan(body, state, seeds)
+    return state
