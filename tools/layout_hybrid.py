@@ -33,32 +33,34 @@ import time
 import numpy as np
 
 
-def _gather_bench(take_fn, n_idx=1_048_576, reps=10, seed=0):
-    """ns/index of take_fn(idx) over random indices."""
+def _gather_bench(v, n_idx=1_048_576, reps=10, seed=0):
+    """ns/index of v.fn(table, idx) over random indices. The table rides as
+    a jit ARGUMENT — closing over a multi-hundred-MB table serializes it
+    into the lowered module and the remote compiler rejects it (HTTP 413)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(seed)
-    idx = jnp.asarray(rng.integers(0, take_fn.n_rows, n_idx, dtype=np.int32))
-    f = jax.jit(take_fn)
-    out = f(idx)
+    idx = jnp.asarray(rng.integers(0, v.n_rows, n_idx, dtype=np.int32))
+    f = jax.jit(v.fn, in_shardings=(v.format, None)) if v.format is not None \
+        else jax.jit(v.fn)
+    out = f(v.table, idx)
     float(jnp.sum(out))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = f(idx)
+        out = f(v.table, idx)
     float(jnp.sum(out))
     dt = (time.perf_counter() - t0) / reps
     return dt / n_idx * 1e9
 
 
 class Variant:
-    def __init__(self, name, n_rows, fn):
+    def __init__(self, name, n_rows, table, fn, format=None):
         self.name = name
         self.n_rows = n_rows
-        self._fn = fn
-
-    def __call__(self, idx):
-        return self._fn(idx)
+        self.table = table
+        self.fn = fn
+        self.format = format
 
 
 def build_variants(size):
@@ -79,23 +81,26 @@ def build_variants(size):
 
     t4d = jnp.asarray(packed)
     out.append(Variant(
-        "4d", n_rows,
-        lambda idx, t=t4d: jnp.take(t.reshape(-1, 8), idx, axis=0)))
+        "4d", n_rows, t4d,
+        lambda t, idx: jnp.take(t.reshape(-1, 8), idx, axis=0)))
 
     tflat = jnp.asarray(packed.reshape(-1, 8))
     out.append(Variant(
-        "flat", n_rows,
-        lambda idx, t=tflat: jnp.take(t, idx, axis=0)))
+        "flat", n_rows, tflat,
+        lambda t, idx: jnp.take(t, idx, axis=0)))
 
     # c: forced row-minor layout on the 4-D logical table
     try:
         from jax.experimental.layout import Format, Layout
+        from jax.sharding import SingleDeviceSharding
 
-        fmt = Format(Layout(major_to_minor=(0, 1, 2, 3)))
-        tforced = jax.device_put(t4d, jax.tree.map(lambda _: fmt, t4d))
+        fmt = Format(Layout(major_to_minor=(0, 1, 2, 3)),
+                     SingleDeviceSharding(jax.devices()[0]))
+        tforced = jax.device_put(t4d, fmt)
         out.append(Variant(
-            "forced_rowminor_4d", n_rows,
-            lambda idx, t=tforced: jnp.take(t.reshape(-1, 8), idx, axis=0)))
+            "forced_rowminor_4d", n_rows, tforced,
+            lambda t, idx: jnp.take(t.reshape(-1, 8), idx, axis=0),
+            format=fmt))
     except Exception as e:  # API moved / unsupported on backend
         print(f"# forced-layout variant unavailable: {e}", file=sys.stderr)
 
@@ -104,7 +109,7 @@ def build_variants(size):
     flat_p = np.pad(packed.reshape(-1, 8), ((0, pad_rows), (0, 0)))
     t128 = jnp.asarray(flat_p.reshape(-1, 128))
 
-    def take128(idx, t=t128):
+    def take128(t, idx):
         rows = jnp.take(t, idx // 16, axis=0)  # (n, 128)
         slot = idx % 16
         acc = jnp.zeros(idx.shape + (8,), t.dtype)
@@ -113,7 +118,7 @@ def build_variants(size):
                 (slot == s)[:, None], rows[:, s * 8:(s + 1) * 8], 0.0)
         return acc
 
-    out.append(Variant("flat128", n_rows, take128))
+    out.append(Variant("flat128", n_rows, t128, take128))
     return out, mb
 
 
