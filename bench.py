@@ -186,15 +186,19 @@ def main():
         "metric": "spectral_mcm_fwdbwd_thinned_s4_512x512_64spp",
         "value": round(thinned, 3),
         "unit": "Mpaths/s/chip",
-        "vs_baseline": _vs_baseline(thinned),
+        # apples-to-apples: exact estimator vs the round-1 exact baseline;
+        # the thinned headline's ratio rides separately (ADVICE r3)
+        "vs_baseline": _vs_baseline(exact),
+        "thinned_vs_exact_baseline": _vs_baseline(thinned),
         "fwd_mpaths_per_s": round(fwd, 3),
         "fwdbwd_exact_stride1": round(exact, 3),
         "baseline": "BENCH_BASELINE.json = this build's round-1 exact "
-                    "fwd+bwd (12.99; reference publishes none). r2 exact "
-                    "was 12.78 (0.984 — flat, the scatter wall); r3 "
-                    "headline is the stride-4 thinned estimator, promoted "
-                    "on the CONFIGS.md stride-convergence evidence "
-                    "(fastest wall-clock to every eval-loss threshold).",
+                    "fwd+bwd (12.99; reference publishes none). "
+                    "vs_baseline grades fwdbwd_exact_stride1 against it "
+                    "(same estimator); thinned_vs_exact_baseline is the "
+                    "stride-4 headline over the same anchor, promoted on "
+                    "the CONFIGS.md stride-convergence evidence. "
+                    "CONFIGS.md regenerated this round: r4 (2026-08-21).",
     }))
 
 

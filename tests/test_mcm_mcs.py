@@ -206,6 +206,35 @@ def test_mcs_persistent_matches_frames(scene):
     assert diff < 2.0 * floor + 1e-4, (diff, floor)
 
 
+def test_mcs_persistent_miss_rays_hit_environment():
+    """Regression: rays that miss the cube must deposit the environment,
+    even when the volume has nonzero alpha at its faces. Before the miss
+    guard, persistent miss lanes Woodcock-marched a reversed out-of-cube
+    segment sampling clamped border voxels and deposited shaded border
+    color instead of env (frame path / MCSRenderer.glsl:112-116 both
+    guard this)."""
+    vol = Volume(np.ones((8, 8, 8), np.float32))  # dense up to the faces
+    cam = Camera()  # z=2, fovy=1: image corners miss the unit cube
+    env = np.full((1, 1, 3), 0.6, np.float32)
+    r = make_renderer("mcs", vol, _tf(), env, extinction=50.0,
+                      resolution=RES, persistent=True, steps=32)
+    state = r.reset(cam)
+    seeds = [(k + 1) * 2654435761 % 2**32 for k in range(20)]
+    state, img = r.render_many(state, cam, seeds)
+    img = np.asarray(img)
+
+    # compute the miss mask the same way the kernel does
+    import jax.numpy as jnp
+    from vpt_tpu.models.raymarch import camera_rays
+    from vpt_tpu.ops import geometry
+    frm, to = camera_rays(RES, jnp.asarray(cam.inverse_mvp()))
+    tn, tf_ = geometry.intersect_cube(
+        frm[0], frm[1], frm[2], to[0] - frm[0], to[1] - frm[1], to[2] - frm[2])
+    miss = np.asarray(jnp.maximum(tn, 0.0) >= jnp.maximum(tf_, 0.0))
+    assert miss.any() and (~miss).any()  # the pose exercises both cases
+    np.testing.assert_allclose(img[miss], 0.6, atol=1e-5)
+
+
 def test_mcs_persistent_deterministic_and_majorant(scene):
     """Same seeds -> bit-identical persistent renders; the majorant mode
     stays statistically exact on the persistent path too."""

@@ -87,15 +87,21 @@ def config2():
     #   mcs_persistent — the TPU-idiomatic persistent-lane megakernel
     #                    (streams=4 + majorants): zero straggler wait,
     #                    statistically identical converged image
+    # All tiers use the FRUSTUM-FILLING camera (z=1.2, same rationale as
+    # config_sparse): at the default z=2 pose ~2/3 of rays miss the cube
+    # and persistent miss lanes complete cheap env deposits every few
+    # steps, inflating Mrays/s vs the frame tiers (ADVICE r3).
+    mcs_cam = Camera(translation=np.array([0.0, 0.0, 1.2]))
     for label, maj in (("mcs", None), ("mcs_majorant", 8)):
         r2 = MCSRenderer(vol, extinction=50.0, resolution=512,
                          majorant_blocks=maj)
-        state = r2.reset(cam, 0)
-        state, img = r2.render_many(state, cam, [1])  # compile
+        state = r2.reset(mcs_cam, 0)
+        state, img = r2.render_many(state, mcs_cam, [1])  # compile
         _sync(img)
         t0 = time.perf_counter()
         state, img = r2.render_many(
-            state, cam, [(f + 2) * 2654435761 % 2**32 for f in range(spp)])
+            state, mcs_cam,
+            [(f + 2) * 2654435761 % 2**32 for f in range(spp)])
         _sync(img)
         dt = time.perf_counter() - t0
         mdn = np.asarray(img)
@@ -108,17 +114,18 @@ def config2():
 
     rp = MCSRenderer(vol, extinction=50.0, resolution=512,
                      majorant_blocks=8, persistent=True, steps=8, streams=4)
-    state = rp.reset(cam, 0)
+    state = rp.reset(mcs_cam, 0)
     warm = [(f + 1) * 2654435761 % 2**32 for f in range(16)]
-    state, img = rp.render_many(state, cam, warm)
+    state, img = rp.render_many(state, mcs_cam, warm)
     s0 = _sync(state.samples)
     t0 = time.perf_counter()
     state, img = rp.render_many(
-        state, cam, [(f + 17) * 2654435761 % 2**32 for f in range(16)])
+        state, mcs_cam, [(f + 17) * 2654435761 % 2**32 for f in range(16)])
     rays = _sync(state.samples) - s0
     dt = time.perf_counter() - t0
     mdn = np.asarray(img)
     out.update(
+        mcs_camera="frustum-filling z=1.2 (all mcs_* tiers)",
         mcs_persistent_seconds=round(dt, 3),
         mcs_persistent_mrays_per_s=round(rays / dt / 1e6, 2),
         mcs_persistent_finite=bool(np.isfinite(mdn).all()),
@@ -301,8 +308,8 @@ def config_sparse():
                desc="512^3 sparse scene (~{:.2%} occupancy) 512^2 "
                     "frustum-filling camera, exact vs super-voxel "
                     "majorant".format(occupancy))
-    imgs = {}
-    for label, maj in (("exact", None), ("majorant", 16)):
+
+    def run(maj, seed_base, timed=True):
         r = M.MCMSpectralRenderer(
             vol, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
             SpectrumConfig(),
@@ -316,7 +323,8 @@ def config_sparse():
         state = r.reset(cam, 1)
         batch = 16
         seeds = lambda lo: jnp.asarray(
-            [(lo + k) * 2654435761 % 2**32 for k in range(batch)], jnp.uint32)
+            [(seed_base + lo + k) * 2654435761 % 2**32 for k in range(batch)],
+            jnp.uint32)
         state, img = M.render_many(state, ctx, seeds(0), steps=8, n_bins=12)
         s0 = _sync(state.samples)
         t0 = time.perf_counter()
@@ -325,14 +333,26 @@ def config_sparse():
                                        steps=8, n_bins=12)
         paths = _sync(state.samples) - s0
         dt = time.perf_counter() - t0
-        imgs[label] = np.asarray(img)
-        out[f"{label}_mpaths_per_s"] = round(paths / dt / 1e6, 2)
-        out[f"{label}_finite"] = bool(np.isfinite(imgs[label]).all())
-    out["speedup"] = round(out["majorant_mpaths_per_s"]
-                           / max(out["exact_mpaths_per_s"], 1e-9), 2)
-    out["image_mean_rel_diff"] = float(
-        abs(imgs["exact"].mean() - imgs["majorant"].mean())
-        / max(imgs["exact"].mean(), 1e-9))
+        return np.asarray(img), paths / dt / 1e6
+
+    img_exact, mp_exact = run(None, 0)
+    img_major, mp_major = run(16, 0)
+    # per-pixel parity (VERDICT r3 weak #4): relative L1 of the majorant
+    # image vs the exact image at MATCHED dispatch count, judged against
+    # the exact path's own seed-to-seed noise floor at the same count —
+    # a scalar mean-of-means would pass with badly wrong spatial structure
+    img_exact_b, _ = run(None, 10_000)
+    norm = max(float(np.abs(img_exact).mean()), 1e-9)
+    rel_l1 = float(np.abs(img_exact - img_major).mean()) / norm
+    floor = float(np.abs(img_exact - img_exact_b).mean()) / norm
+    out["exact_mpaths_per_s"] = round(mp_exact, 2)
+    out["majorant_mpaths_per_s"] = round(mp_major, 2)
+    out["exact_finite"] = bool(np.isfinite(img_exact).all())
+    out["majorant_finite"] = bool(np.isfinite(img_major).all())
+    out["speedup"] = round(mp_major / max(mp_exact, 1e-9), 2)
+    out["pixel_rel_l1_vs_exact"] = round(rel_l1, 4)
+    out["pixel_rel_l1_noise_floor"] = round(floor, 4)
+    out["pixel_parity_ok"] = bool(rel_l1 < 2.0 * floor + 1e-3)
     return out
 
 
@@ -416,52 +436,72 @@ def main():
 
 def _stride_convergence_section():
     """Render the config-4 stride-convergence evidence (the BENCH headline
-    promotion rationale) from tools/convergence_stride.json, if present."""
+    promotion rationale) from tools/convergence_stride*.json: the primary
+    study plus the scene/seed replicates (VERDICT r3 #4)."""
+    import glob
     import os
 
-    path = os.path.join(os.path.dirname(__file__), "convergence_stride.json")
-    if not os.path.exists(path):
+    here = os.path.dirname(__file__)
+    primary = os.path.join(here, "convergence_stride.json")
+    if not os.path.exists(primary):
         return []
-    data = json.load(open(path))
-    rows = data["curves"]
-    floor = min(min(r["eval_loss"]) for r in rows)
-    init_eval = rows[0]["init_eval_loss"]
-    cfg = data["config"]
+    replicates = sorted(
+        p for p in glob.glob(os.path.join(here, "convergence_stride_*.json")))
+
     lines = [
         "## Stride convergence (config 4) — the BENCH headline evidence",
         "",
-        "tools/convergence_stride.py: density recovery from a smoothed init",
-        f"({cfg['volume']}^3 volume, {cfg['res']}^2, {cfg['dispatches']} "
-        f"dispatches/step, {cfg['iters']} Adam iters, lr {cfg['lr']}), same",
-        "targets and per-iteration seeds for every method. The decisive",
-        "metric is a fixed-seed EVAL loss (off the optimizer clock,",
-        "deterministic given params). autodiff = REINFORCE-surrogate",
-        "autodiff; prb-sK = packed-adjoint window PRB at scatter_stride K.",
+        "tools/convergence_stride.py: density recovery from a smoothed init,",
+        "same targets and per-iteration seeds for every method within a",
+        "study. The decisive metric is a fixed-seed EVAL loss (off the",
+        "optimizer clock, deterministic given params). autodiff =",
+        "REINFORCE-surrogate autodiff; prb-sK = packed-adjoint window PRB at",
+        "scatter_stride K. One table per (scene, seed) study; the primary",
+        "study plus replicates across a second scene and extra seeds.",
         "",
-        "| method | s/iter | final eval loss | t to 0.5x gap | 0.25x | 0.1x |",
-        "|---|---|---|---|---|---|",
     ]
-    for r in rows:
-        t_iter = r["times"][-1] / len(r["times"])
-        cells = []
-        for frac in (0.5, 0.25, 0.1):
-            thresh = floor + (init_eval - floor) * frac
-            hit = next((t for t, m in zip(r["times"], r["eval_loss"])
-                        if m <= thresh), None)
-            cells.append(f"{hit:.1f}s" if hit is not None else "never")
-        lines.append(
-            f"| {r['method']} | {t_iter:.2f} | {r['eval_loss'][-1]:.6f} | "
-            + " | ".join(cells) + " |")
+    for path in [primary] + replicates:
+        data = json.load(open(path))
+        rows = data["curves"]
+        floor = min(min(r["eval_loss"]) for r in rows)
+        init_eval = rows[0]["init_eval_loss"]
+        cfg = data["config"]
+        scene = cfg.get("scene", "sphere_in_cube")
+        seed = cfg.get("seed", 7)
+        lines += [
+            f"### {scene} seed {seed} ({cfg['volume']}^3, {cfg['res']}^2, "
+            f"{cfg['dispatches']} dispatches/step, {cfg['iters']} iters, "
+            f"lr {cfg['lr']})",
+            "",
+            "| method | s/iter | final eval loss | t to 0.5x gap | 0.25x "
+            "| 0.1x |",
+            "|---|---|---|---|---|---|",
+        ]
+        for r in rows:
+            t_iter = r["times"][-1] / len(r["times"])
+            cells = []
+            for frac in (0.5, 0.25, 0.1):
+                thresh = floor + (init_eval - floor) * frac
+                hit = next((t for t, m in zip(r["times"], r["eval_loss"])
+                            if m <= thresh), None)
+                cells.append(f"{hit:.1f}s" if hit is not None else "never")
+            lines.append(
+                f"| {r['method']} | {t_iter:.2f} | {r['eval_loss'][-1]:.6f} "
+                "| " + " | ".join(cells) + " |")
+        lines += [
+            "",
+            f"Init eval loss {init_eval:.6f}; floor (best any method "
+            f"reached) {floor:.6f}. Raw curves: tools/{os.path.basename(path)}.",
+            "",
+        ]
     lines += [
-        "",
-        f"Init eval loss {init_eval:.6f}; floor (best any method reached)",
-        f"{floor:.6f}. Verdict: stride 4 reaches every threshold fastest",
-        "(stride 8's ~8x table-grad variance stalls before the deepest",
-        "threshold; stride 1 pays the full scatter wall for no quality",
-        "gain) — stride 4 is the production estimator and the BENCH",
-        "headline. Wall-clock outliers from the shared-tunnel device are",
-        "possible on any single row; the s/iter column is the robust",
-        "comparison. Raw curves: tools/convergence_stride.json.",
+        "Verdict: stride 4 reaches every threshold fastest in the primary",
+        "study and the replicates (stride 8's ~8x table-grad variance can",
+        "stall before the deepest threshold; stride 1 pays the full scatter",
+        "wall for no quality gain) — stride 4 is the production estimator",
+        "and the BENCH headline. Wall-clock outliers from the shared-tunnel",
+        "device are possible on any single row; the s/iter column is the",
+        "robust comparison.",
         "",
     ]
     return lines

@@ -154,14 +154,35 @@ def main():
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--target-dispatches", type=int, default=256)
-    ap.add_argument("--out", default="tools/convergence_stride.json")
+    ap.add_argument("--scene", default="sphere_in_cube",
+                    choices=["sphere_in_cube", "two_spheres",
+                             "sparse_spheres"],
+                    help="recovery scene (VERDICT r3 #4: replicate the "
+                         "study beyond one scene)")
+    ap.add_argument("--seed", type=int, default=7,
+                    help="optimizer sample-stream seed (replicates)")
+    ap.add_argument("--methods", default="autodiff,prb-s1,prb-s2,prb-s4,prb-s8",
+                    help="comma list from {autodiff, prb-sK}")
+    ap.add_argument("--out", default=None,
+                    help="default: tools/convergence_stride.json for the "
+                         "primary (sphere_in_cube seed 7), else "
+                         "tools/convergence_stride_<scene>_s<seed>.json")
     args = ap.parse_args()
+    if args.out is None:
+        if args.scene == "sphere_in_cube" and args.seed == 7:
+            args.out = "tools/convergence_stride.json"
+        else:
+            args.out = (f"tools/convergence_stride_{args.scene}"
+                        f"_s{args.seed}.json")
 
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
 
-    true_density = np.asarray(Volume.sphere_in_cube(args.volume).density,
-                              np.float32)
+    if args.scene == "sparse_spheres":
+        vol = Volume.sparse_spheres(args.volume)
+    else:
+        vol = getattr(Volume, args.scene)(args.volume)
+    true_density = np.asarray(vol.density, np.float32)
     init_density = _smoothed(true_density)
 
     # converged target render of the TRUE scene
@@ -181,11 +202,19 @@ def main():
     rows = []
     # stride 8 = one scattered step per 8-step dispatch; the k%stride phase
     # covers uniformly because dispatches_per_step (8) is a multiple
-    for kind, stride in (("autodiff", 0), ("prb", 1), ("prb", 2), ("prb", 4),
-                         ("prb", 8)):
+    wanted = [m.strip() for m in args.methods.split(",") if m.strip()]
+    plan = []
+    for m in wanted:
+        if m == "autodiff":
+            plan.append(("autodiff", 0))
+        elif m.startswith("prb-s"):
+            plan.append(("prb", int(m[len("prb-s"):])))
+        else:
+            raise SystemExit(f"unknown method {m!r}")
+    for kind, stride in plan:
         r = run_curve(kind, stride, true_density, init_density, target,
                       args.res, args.steps, args.streams, args.iters,
-                      args.dispatches, args.lr, seed=7)
+                      args.dispatches, args.lr, seed=args.seed)
         r["init_density_mse"] = init_mse
         rows.append(r)
         print(f"# {r['method']}: {r['times'][-1]:.1f}s, "
@@ -199,7 +228,8 @@ def main():
         json.dump(dict(
             config=dict(res=args.res, volume=args.volume, iters=args.iters,
                         dispatches=args.dispatches, streams=args.streams,
-                        steps=args.steps, lr=args.lr),
+                        steps=args.steps, lr=args.lr, scene=args.scene,
+                        seed=args.seed),
             curves=rows), f)
     print(f"wrote {args.out}")
 

@@ -131,6 +131,54 @@ def throughput(res, extinction, maj, frames, seed=1):
     return frames * res * res / dt / 1e6, np.asarray(img)
 
 
+def persistent_accounting(res, extinction, maj, steps=8, streams=4,
+                          dispatches=16, seed=1):
+    """Speed-of-light accounting for the persistent-lane path (VERDICT r3
+    #5): every lane runs every fori_loop step, so total lane-steps are
+    exact: dispatches * steps * streams * res^2. Each lane-step issues one
+    fused volume+TF gather (+1 majorant-cell gather in majorant mode) —
+    against the spectral kernel's measured ~110M fused-gather lane-steps/s
+    this gives the implied Mrays/s ceiling at the measured
+    steps-per-deposit. Measured with the frustum-filling camera (z=1.2)
+    so Mrays/s counts transport, not miss-lane churn (ADVICE r3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.models.mcs import MCSRenderer
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+
+    r = MCSRenderer(Volume.sphere_in_cube(128), extinction=extinction,
+                    resolution=res, majorant_blocks=maj,
+                    persistent=True, steps=steps, streams=streams)
+    cam = Camera(translation=np.array([0.0, 0.0, 1.2]))
+    state = r.reset(cam, 0)
+    warm = [(k + 1) * 2654435761 % 2**32 for k in range(dispatches)]
+    state, img = r.render_many(state, cam, warm)
+    s0 = float(jnp.sum(state.samples))
+    t0 = time.perf_counter()
+    state, img = r.render_many(
+        state, cam,
+        [(seed + dispatches + k) * 2654435761 % 2**32
+         for k in range(dispatches)])
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    deposits = float(jnp.sum(state.samples)) - s0
+    lanes = streams * res * res
+    lane_steps = dispatches * steps * lanes
+    steps_per_dep = lane_steps / max(deposits, 1.0)
+    rate = lane_steps / dt
+    spectral_rate = 110e6  # measured fused-gather lane-step rate
+    return dict(
+        mrays_per_s=round(deposits / dt / 1e6, 2),
+        lane_steps_per_s_M=round(rate / 1e6, 1),
+        steps_per_deposit=round(steps_per_dep, 2),
+        gathers_per_step=1 + (1 if maj else 0),
+        implied_ceiling_mrays=round(
+            spectral_rate / (1 + (1 if maj else 0)) / steps_per_dep / 1e6, 2),
+    )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--res", type=int, default=512)
@@ -148,6 +196,10 @@ def main():
               file=sys.stderr)
         out[f"mrays_{label}"] = round(mr, 2)
         out[f"mean_{label}"] = float(img.mean())
+    for label, maj in (("persistent", None), ("persistent_majorant8", 8)):
+        acc = persistent_accounting(args.res, args.ext, maj)
+        print(f"# {label}: {acc}", file=sys.stderr)
+        out[label] = acc
     print(json.dumps(out))
 
 

@@ -399,7 +399,11 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                              return_cot: bool = False,
                              forward_only: bool = False,
                              tape_in=None,
-                             state_out_in=None):
+                             state_out_in=None,
+                             sample_volume_fn=None,
+                             vol_scatter_fn=None,
+                             vol_meta=None,
+                             pixel_grid=None):
     """Hand-derived gradients of one render dispatch — packed tables.
 
     Requires the standard fast-path ctx: fused (H+1, W+1, 18) material TF
@@ -460,14 +464,22 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     # the packed volume arrives either as a flat PackedVolume (large tables)
     # or the natural 4-D array (small tables — interp.pack_volume_auto);
     # the backward only needs the padded dims + kind, and its adjoint is
-    # flat (rows, width) in both cases
-    vol_dims, vol_kind = _packed_vol_meta(ctx)
+    # flat (rows, width) in both cases. ``vol_meta`` overrides both for
+    # callers whose ctx.density is not self-describing — the slab-sharded
+    # wrapper (parallel/slab.py) passes the GLOBAL packed dims while
+    # ctx.density inside shard_map is one local z-slab.
+    vol_dims, vol_kind = vol_meta if vol_meta is not None \
+        else _packed_vol_meta(ctx)
 
     resolution = state0.px.shape[-1]
     streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
-    ix, iy, seed_iy = M._pixel_grid(resolution, streams)
-    sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-    rng0 = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+    if pixel_grid is None:
+        ix, iy, seed_iy = M._pixel_grid(resolution, streams)
+        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+        rng0 = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+    else:
+        # slab wrapper: this device's global pixel coordinates + seeds
+        sx, sy, rng0 = pixel_grid
 
     Hp, Wp, CC = ctx.material_tf.shape
     TH, TW = Hp - 1, Wp - 1
@@ -493,7 +505,7 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         p, rng = carry
         p2, rng2, _, it = M._render_body(
             p, rng, None, sx, sy, ctx, n_bins, volume_filter,
-            diff=False, collect=True,
+            diff=False, collect=True, sample_volume_fn=sample_volume_fn,
         )
         ex = it["tf_extras"]
         rows, fx, fy = ex["rows"], ex["fx"], ex["fy"]
@@ -666,6 +678,10 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                 v12.reshape(-1, 12))
         if want_vol:
             # density chain through the TF, trilinear corner-row scatter
+            # (vol_scatter_fn overrides the lowering — the slab wrapper
+            # routes it: all_gather indices+updates -> owner-side add)
+            vol_scatter = vol_scatter_fn or (
+                lambda a, i, u: a.at[i].add(u))
             grad_dens = (grad_albedo * t["slopes"][..., 0]
                          + grad_alpha * t["slopes"][..., 1]
                          + grad_graw * t["slopes"][..., 2])
@@ -673,16 +689,18 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
             w4 = jnp.stack([(1 - vfy) * (1 - vfx), (1 - vfy) * vfx,
                             vfy * (1 - vfx), vfy * vfx], axis=-1)
             if xy_packed:
-                g_vol = adj["g_vol"].at[t["vol_row0"].reshape(-1)].add(
+                g_vol = vol_scatter(
+                    adj["g_vol"], t["vol_row0"].reshape(-1),
                     ((grad_dens * (1 - vfz))[..., None] * w4).reshape(-1, 4))
-                out["g_vol"] = g_vol.at[t["vol_row1"].reshape(-1)].add(
+                out["g_vol"] = vol_scatter(
+                    g_vol, t["vol_row1"].reshape(-1),
                     ((grad_dens * vfz)[..., None] * w4).reshape(-1, 4))
             else:
                 v8 = jnp.concatenate(
                     [(grad_dens * (1 - vfz))[..., None] * w4,
                      (grad_dens * vfz)[..., None] * w4], axis=-1)
-                out["g_vol"] = adj["g_vol"].at[t["vol_row0"].reshape(-1)].add(
-                    v8.reshape(-1, 8))
+                out["g_vol"] = vol_scatter(
+                    adj["g_vol"], t["vol_row0"].reshape(-1), v8.reshape(-1, 8))
         return out
 
     def cotangent_update(carry, t):

@@ -490,6 +490,12 @@ def _mcs_persistent_dispatch_impl(state: MCSPersistentState, ctx: MCSCtx,
         frm[0], frm[1], frm[2], to[0] - frm[0], to[1] - frm[1], to[2] - frm[2])
     tn = jnp.maximum(tn, 0.0)
     tf_ = jnp.maximum(tf_, 0.0)
+    # miss guard (frame path mcs.py above / MCSRenderer.glsl:112-116): rays
+    # that never enter the cube have tn >= tf_ after clamping; without the
+    # guard entry/exit swap and max_dist > 0, so miss lanes would Woodcock-
+    # march a reversed out-of-cube segment sampling clamped border voxels.
+    # Forcing max_dist = 0 makes their first step escape -> env deposit.
+    miss = tn >= tf_
     entry = (frm[0] + (to[0] - frm[0]) * tn,
              frm[1] + (to[1] - frm[1]) * tn,
              frm[2] + (to[2] - frm[2]) * tn)
@@ -497,7 +503,8 @@ def _mcs_persistent_dispatch_impl(state: MCSPersistentState, ctx: MCSCtx,
              frm[1] + (to[1] - frm[1]) * tf_,
              frm[2] + (to[2] - frm[2]) * tf_)
     seg = (exit_[0] - entry[0], exit_[1] - entry[1], exit_[2] - entry[2])
-    max_dist = jnp.sqrt(seg[0] ** 2 + seg[1] ** 2 + seg[2] ** 2)
+    max_dist = jnp.where(
+        miss, 0.0, jnp.sqrt(seg[0] ** 2 + seg[1] ** 2 + seg[2] ** 2))
     inv_md = 1.0 / jnp.maximum(max_dist, 1e-30)
     rdx, rdy, rdz = seg[0] * inv_md, seg[1] * inv_md, seg[2] * inv_md
     env3 = sample_environment(ctx.environment, ddx, ddy, ddz)

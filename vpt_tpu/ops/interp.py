@@ -7,8 +7,10 @@ texel centers at (i + 0.5)/N, linear filter weights from the fractional
 offset, clamp-to-edge addressing. Quasi-cubic mode is the smoothstep-warped
 trilinear of /root/reference/src/glsl/mixins/quasiCubicSampling.glsl:3-9.
 
-Gathers lower to XLA gather on TPU; the Pallas megakernel reuses these same
-index/weight computations.
+Gathers lower to XLA gather on TPU. The product ships NO Pallas kernel:
+a Pallas port of the megakernel step was built and measured 300-700x
+slower than the XLA lowering (bit-exact; tools/pallas_step.py,
+ARCHITECTURE.md "Pallas: status"), so XLA gather IS the production path.
 """
 
 from __future__ import annotations

@@ -333,6 +333,12 @@ def fit_spectral(
     optimizer = optax.adam(learning_rate)
     istate = InverseState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
     if method == "prb":
+        if steps % scatter_stride != 0:
+            # the window backward partitions steps into stride phases; fall
+            # back to the largest divisor of steps <= the requested stride so
+            # user-settable steps (e.g. 6) keep working instead of crashing
+            scatter_stride = max(
+                d for d in range(1, scatter_stride + 1) if steps % d == 0)
         step = make_spectral_prb_step(
             optimizer, steps, n_bins, wrt=frozenset(params),
             scatter_stride=scatter_stride,

@@ -111,6 +111,188 @@ def _sample_volume_slab(packed_slab, u, v, w, rows_per_device, dims, mode):
     return c0 + (c1 - c0) * fz
 
 
+def _distributed_scatter_add(adj_slab, flat_idx, updates, rows_per_device):
+    """The routed adjoint scatter — the exact transpose of
+    ``_distributed_rows``: all_gather every device's (row index, update row)
+    pairs over ICI, then each owner scatter-adds the subset that falls in
+    its slab. No device ever materializes the full packed adjoint.
+
+    ``adj_slab``: (rows_per_device, C) local adjoint slab; ``flat_idx``:
+    (N,) local GLOBAL row indices; ``updates``: (N, C) local update rows.
+    """
+    me = jax.lax.axis_index(AXIS)
+    lo = me * rows_per_device
+    all_idx = jax.lax.all_gather(flat_idx, AXIS, tiled=True)  # (n*N,)
+    all_upd = jax.lax.all_gather(updates, AXIS, tiled=True)   # (n*N, C)
+    local = all_idx - lo
+    in_slab = (local >= 0) & (local < rows_per_device)
+    safe = jnp.where(in_slab, local, 0)
+    upd = jnp.where(in_slab[:, None], all_upd, 0.0)
+    return adj_slab.at[safe].add(upd)
+
+
+def _unpad_transpose(a, bit, axis):
+    """Transpose of one edge-pad axis of interp.pack_volume_corners_jnp:
+    packed length N+1 along ``axis`` -> raw length N. Forward corner fetch
+    was p[k + bit] with p = edge-pad(d, 1), i.e. d[clip(k + bit - 1,
+    0, N-1)]; the transpose folds the clipped ends back in."""
+    N = a.shape[axis] - 1
+    sl = [slice(None)] * a.ndim
+
+    def ax(i):
+        s = list(sl)
+        s[axis] = i
+        return tuple(s)
+
+    if bit == 0:
+        g = a[ax(slice(1, None))]
+        return g.at[ax(0)].add(a[ax(0)])
+    g = a[ax(slice(0, N))]
+    return g.at[ax(N - 1)].add(a[ax(N)])
+
+
+def _contract_slab_adjoint(adj_flat, D, H, W, slab_z):
+    """Local slab of the packed-corner adjoint -> this device's z-slab of
+    the RAW density gradient (the distributed transpose of
+    pack_volume_corners_jnp).
+
+    The packed table's z is slab-sharded; each packed plane z contributes
+    to raw planes z-1 (corners with z-bit 0) and z (z-bit 1), clipped to
+    [0, D-1] — so a slab's contribution spans one plane below its range,
+    handled by a single ``ppermute`` halo send to the previous device.
+    Runs inside shard_map; returns (slab_z, H, W) local raw-grad planes
+    (global planes >= D are zero; the caller slices [:D])."""
+    Hp, Wp = H + 1, W + 1
+    A = adj_flat.reshape(slab_z, Hp, Wp, 8)
+    me = jax.lax.axis_index(AXIS)
+    lo = me * slab_z  # global packed z of A[0]
+
+    B0 = jnp.zeros((slab_z, H, W), jnp.float32)
+    B1 = jnp.zeros((slab_z, H, W), jnp.float32)
+    for c in range(8):
+        bz, by, bx = (c >> 2) & 1, (c >> 1) & 1, c & 1
+        g = _unpad_transpose(_unpad_transpose(A[..., c], by, 1), bx, 2)
+        if bz == 0:
+            B0 = B0 + g
+        else:
+            B1 = B1 + g
+
+    # local partial over raw planes [lo-1, lo+slab_z-1] (length slab_z+1)
+    zero_plane = jnp.zeros((1, H, W), jnp.float32)
+    L = (jnp.concatenate([B0, zero_plane], axis=0)
+         + jnp.concatenate([zero_plane, B1], axis=0))
+
+    planes = (lo - 1) + jnp.arange(slab_z + 1, dtype=jnp.int32)
+    # fold raw plane -1 (from global packed z=0, corner z-bit 0) into 0 —
+    # purely local: plane 0 is this device's L[1] exactly when lo == 0
+    L = L.at[1].add(jnp.where(planes[0] < 0, L[0], 0.0))
+    # fold raw planes >= D (from packed z >= D; only z == D is nonzero —
+    # greater z are zero pad rows) into D-1. D-1 sits at local index
+    # D - lo when lo <= D; when lo == D that is L[0], which the halo
+    # ppermute then carries to the previous device's top plane.
+    mask_hi = (planes >= D)[:, None, None]
+    overflow = jnp.sum(jnp.where(mask_hi, L, 0.0), axis=0)
+    L = jnp.where(mask_hi, 0.0, L)
+    kstar = jnp.clip(D - lo, 0, slab_z)
+    L = L.at[kstar].add(overflow)
+
+    n = jax.lax.axis_size(AXIS)
+    halo = jax.lax.ppermute(L[0], AXIS,
+                            [(i, i - 1) for i in range(1, n)])
+    out = L[1:]
+    return out.at[slab_z - 1].add(halo)
+
+
+def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
+                   n_bins: int, volume_filter: str = "linear",
+                   scatter_stride: int = 1):
+    """Packed-PRB density gradients of one render dispatch with the volume
+    slab-sharded (VERDICT r3 #6: the composition matrix's last cell).
+
+    Same taped path-replay backward as
+    kernels.spectral_backward.spectral_backward_packed with wrt={"density"},
+    under one shard_map where (a) the forward's volume fetch is the routed
+    distributed gather and (b) the per-step volume-adjoint scatter routes
+    the same way in reverse (_distributed_scatter_add) — each device's
+    packed-adjoint slab stays (rows/n, 8) through the whole reverse scan;
+    the full adjoint is NEVER materialized. The packed->raw contraction is
+    also distributed (_contract_slab_adjoint: local pack-transpose + one
+    ppermute halo).
+
+    ``ctx.density``: the slab-sharded padded packed table
+    (shard_packed_volume); other ctx leaves replicated; lanes row-sharded.
+    Returns (state_out, image, {"density": (D, H, W) raw gradient}) —
+    allclose to the replicated packed-PRB gradient (tests/test_slab.py).
+    """
+    from vpt_tpu.kernels import spectral_backward as SB
+
+    n = mesh.devices.size
+    resolution = state.px.shape[-1]
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
+    D, H, W = volume_dims
+    Dp_padded = ctx.density.shape[0]
+    slab_z = Dp_padded // n
+    rows_per_device = slab_z * (H + 1) * (W + 1)
+    rows_local = resolution // n
+
+    lane = P(AXIS, None) if streams == 1 else P(None, AXIS, None)
+    binned = P(None, AXIS, None) if streams == 1 else P(None, None, AXIS, None)
+    state_specs = M.SpectralState(
+        px=lane, py=lane, pz=lane, dx=lane, dy=lane, dz=lane,
+        bounces=lane, samples=lane, bin=lane, wavelength=lane,
+        radiance=binned, transmittance=binned,
+    )
+    ctx_specs = M.SpectralCtx(
+        inv_mvp=P(), seed_bits=P(), extinction=P(), blur=P(),
+        max_bounces=P(), light_direction=P(),
+        density=P(AXIS, None, None, None),
+        material_tf=P(), light_spectrum=P(), boundaries=P(), bin_xyz=P(),
+        environment=None if ctx.environment is None else P(),
+        majorant=None if ctx.majorant is None else P(),
+    )
+
+    def shard_fn(state, ctx, g_img):
+        me = jax.lax.axis_index(AXIS)
+        shape = (rows_local, resolution) if streams == 1 else (
+            streams, rows_local, resolution)
+        iy_local = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+        ix = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+        iy = iy_local + me.astype(jnp.uint32) * jnp.uint32(rows_local)
+        seed_iy = iy
+        if streams > 1:
+            s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            seed_iy = iy + s * jnp.uint32(resolution)
+        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+        rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+
+        def slab_sampler(density, u, v, w, mode="linear"):
+            return _sample_volume_slab(
+                density, u, v, w, rows_per_device, (D, H, W), mode)
+
+        def slab_scatter(adj, idx, upd):
+            return _distributed_scatter_add(adj, idx, upd, rows_per_device)
+
+        adj_in = {"g_vol": jnp.zeros((rows_per_device, 8), jnp.float32)}
+        state_out, image, acc = SB.spectral_backward_packed(
+            state, ctx, g_img, steps, n_bins, volume_filter,
+            wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            adj_in=adj_in, raw_adjoints=True,
+            sample_volume_fn=slab_sampler, vol_scatter_fn=slab_scatter,
+            vol_meta=((D + 1, H + 1, W + 1), "full"),
+            pixel_grid=(sx, sy, rng))
+        g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
+        return state_out, image, g_raw
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(state_specs, ctx_specs, P(AXIS, None, None)),
+        out_specs=(state_specs, P(AXIS, None, None), P(AXIS, None, None)),
+        check_vma=False,
+    )
+    state_out, image, g = jax.jit(fn)(state, ctx, g_image)
+    return state_out, image, {"density": g[:D]}
+
+
 def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
                 volume_filter: str = "linear", lower_only: bool = False):
     """One spectral render dispatch with the volume slab-sharded.
