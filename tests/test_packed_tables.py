@@ -191,3 +191,38 @@ def test_pack_volume_auto_picks_by_size():
     big = interp.pack_volume_auto(vol, "full", flat_threshold_bytes=1)
     assert isinstance(big, interp.PackedVolume)
     assert big.dims == (17, 17, 17) and big.kind == "full"
+
+
+def test_quantized_packed_volume_dtypes():
+    """u8 packed tables are BIT-EXACT for u8-quantized source volumes
+    (dequant uses the readers' own astype(f32)/255 expression); bf16 is
+    lossy within ~2^-8; non-quantized sources are rejected for u8."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pytest
+
+    from vpt_tpu.ops import interp
+    from vpt_tpu.scene.volume import Volume
+
+    vol = Volume.sphere_in_cube(16).density  # u8-quantized by construction
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+    v = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+    w = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
+
+    for kind in ("full", "xy"):
+        want = np.asarray(interp.sample_volume(
+            interp.PackedVolume.pack(vol, kind), u, v, w, "linear"))
+        got_u8 = np.asarray(interp.sample_volume(
+            interp.PackedVolume.pack(vol, kind, table_dtype="u8"),
+            u, v, w, "linear"))
+        got_bf16 = np.asarray(interp.sample_volume(
+            interp.PackedVolume.pack(vol, kind, table_dtype="bf16"),
+            u, v, w, "linear"))
+        np.testing.assert_array_equal(got_u8, want, err_msg=f"{kind} u8")
+        np.testing.assert_allclose(got_bf16, want, atol=1 / 256.0,
+                                   err_msg=f"{kind} bf16")
+
+    with pytest.raises(AssertionError):
+        interp.PackedVolume.pack(
+            np.full((4, 4, 4), 0.3004, np.float32), table_dtype="u8")

@@ -1,0 +1,97 @@
+"""Hit-lane compaction benchmark (VERDICT r3 #8): default pose, where
+~2/3 of pixels miss the cube and the full kernel spends ~2/3 of its lanes
+Monte-Carlo-estimating closed-form values.
+
+Reports, for the canonical 512^2 x 4-stream / 128^3 workload:
+  - hit fraction (lanes the compact mode actually marches)
+  - wall-clock per dispatch batch, full vs compact
+  - HIT-pixel sample throughput both ways (the honest metric: compaction
+    deletes miss-lane churn, so scene-level Mpaths/s is incomparable)
+  - hit-pixel image parity at matched seeds
+
+Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/compact_bench.py
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4):
+    import jax
+    import jax.numpy as jnp
+
+    from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.scene.camera import Camera
+    from vpt_tpu.scene.volume import Volume
+    from vpt_tpu.utils.config import (
+        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+    )
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    table[..., 2] = 0.5
+    kw = dict(
+        volume=Volume.sphere_in_cube(volume),
+        material_tf=MaterialTF(table),
+        light=LightConfig(direction=(1.0, 0.2, 0.5)),
+        spectrum=SpectrumConfig(),
+        config=MCMSpectralConfig(extinction=40.0, bounces=8, steps=steps),
+        resolution=resolution, streams=streams,
+    )
+    cam = Camera()
+    out = {}
+
+    def run(r, label):
+        seeds = lambda lo: [(lo + k) * 2654435761 % 2**32
+                            for k in range(batch)]
+        state = r.reset(cam, 1)
+        state, img = r.render_many(state, cam, seeds(1))  # compile+warm
+        jax.block_until_ready(img)
+        s0 = float(jnp.sum(state.samples))
+        t0 = time.perf_counter()
+        for rr in range(rounds):
+            state, img = r.render_many(state, cam, seeds((rr + 1) * batch))
+        jax.block_until_ready(img)
+        dt = time.perf_counter() - t0
+        paths = float(jnp.sum(state.samples)) - s0
+        out[f"{label}_seconds"] = round(dt, 3)
+        out[f"{label}_paths"] = int(paths)
+        return np.asarray(img), dt, state
+
+    full = M.MCMSpectralRenderer(**kw)
+    comp = M.MCMSpectralRenderer(**kw, compaction=True)
+    t = comp._compact_tables(cam)
+    hit = np.asarray(t["hit"])
+    out["hit_fraction"] = round(float(hit.mean()), 4)
+    out["lanes_full"] = streams * resolution * resolution
+    out["lanes_compact"] = int(np.asarray(t["lane_ix"]).size)
+
+    img_f, dt_f, st_f = run(full, "full")
+    img_c, dt_c, st_c = run(comp, "compact")
+    out["dispatch_speedup"] = round(dt_f / dt_c, 2)
+
+    # hit-pixel samples/s: the timed window's paths scaled by the hit-lane
+    # share of the per-lane sample counters (sampling is stationary across
+    # the warm + timed batches, so the share transfers)
+    sf = np.asarray(st_f.samples)
+    share = (sf[:, hit].sum() if sf.ndim == 3 else sf[hit].sum()) / sf.sum()
+    out["hit_mpaths_full"] = round(
+        out["full_paths"] * float(share) / dt_f / 1e6, 2)
+    out["hit_mpaths_compact"] = round(out["compact_paths"] / dt_c / 1e6, 2)
+    out["hit_speedup"] = round(
+        out["hit_mpaths_compact"] / max(out["hit_mpaths_full"], 1e-9), 2)
+
+    # parity on hit pixels at matched seeds (both modes ran the same seeds)
+    a, b = img_f[hit], img_c[hit]
+    out["hit_pixel_max_abs_diff"] = float(np.abs(a - b).max())
+    out["hit_parity_ok"] = bool(np.allclose(a, b, rtol=1e-4, atol=1e-5))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

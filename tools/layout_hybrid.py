@@ -119,6 +119,24 @@ def build_variants(size):
         return acc
 
     out.append(Variant("flat128", n_rows, t128, take128))
+
+    # e: bf16 storage — halves table bytes; gather cost partly tracks
+    # residency, so test whether half the footprint buys back ns/idx.
+    # (Opt-in precision trade if it wins: densities are u8-quantized
+    # upstream, so bf16's 8-bit mantissa costs ~2^-9 relative.)
+    tbf16 = jnp.asarray(packed.reshape(-1, 8), jnp.bfloat16)
+    out.append(Variant(
+        "flat_bf16", n_rows, tbf16,
+        lambda t, idx: jnp.take(t, idx, axis=0).astype(jnp.float32)))
+
+    # f: u8 storage — quarter bytes and EXACT for u8-quantized upstream
+    # volumes (round(d*255)/255 round-trips); upcast+scale post-gather
+    tu8 = jnp.asarray(
+        np.round(packed.reshape(-1, 8) * 255.0).astype(np.uint8))
+    inv255 = jnp.float32(1.0 / 255.0)
+    out.append(Variant(
+        "flat_u8", n_rows, tu8,
+        lambda t, idx: jnp.take(t, idx, axis=0).astype(jnp.float32) * inv255))
     return out, mb
 
 
@@ -153,6 +171,10 @@ def in_situ(size, variant_kind, resolution=512, streams=4, reps=3, batch=16):
         density = interp.PackedVolume(
             jnp.asarray(packed.reshape(-1, packed.shape[-1])),
             packed.shape[:3], "full")
+    elif variant_kind in ("flat_u8", "flat_bf16"):
+        density = interp.PackedVolume.pack(
+            np.asarray(r.volume.density), "full",
+            table_dtype=variant_kind.split("_", 1)[1])
     else:
         raise ValueError(variant_kind)
     ctx = r.ctx(cam, 1)._replace(density=density)
@@ -184,7 +206,7 @@ def main():
         res[f"gather_ns_{v.name}"] = round(ns, 2)
         print(f"# {v.name}: {ns:.2f} ns/idx", file=sys.stderr)
     if args.situ:
-        for kind in ("4d", "flat"):
+        for kind in ("4d", "flat", "flat_u8", "flat_bf16"):
             mp = in_situ(args.size, kind)
             res[f"situ_mpaths_{kind}"] = round(mp, 1)
             print(f"# in-situ {kind}: {mp:.1f} Mpaths/s", file=sys.stderr)

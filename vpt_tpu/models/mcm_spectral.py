@@ -553,6 +553,7 @@ class MCMSpectralRenderer:
         environment=None,
         majorant_blocks: int | None = None,
         mesh=None,
+        compaction: bool = False,
     ):
         from vpt_tpu.ops.spectral import bin_coefficients
 
@@ -643,6 +644,21 @@ class MCMSpectralRenderer:
             boundaries=jnp.asarray(self.spectrum.boundaries, jnp.float32),
             bin_xyz=jnp.asarray(self._bin_xyz),
         )
+        # hit-lane compaction (models/mcm_spectral_compact.py): march lanes
+        # only for pixels whose ray bundle can hit the cube; miss pixels
+        # take the closed-form expectation of the same estimator. Opt-in:
+        # changes the Mpaths/s accounting (miss-lane churn disappears).
+        self.compaction = compaction
+        if compaction:
+            assert self.config.blur == 0.0, "compaction requires blur=0"
+            assert environment is None, (
+                "compaction supports the directional/isotropic light path; "
+                "use the full kernel with an environment map")
+            assert mesh is None, "compaction is a single-device mode"
+            self._light_raw = np.asarray(self.light.spectrum_array(),
+                                         np.float32)
+            self._compact_cache = {}
+
         # mesh-aware mode: scene resources replicate across the "rays" mesh
         # and reset() returns row-sharded state, so render/render_many run
         # multi-device through the same public API (the reference's single
@@ -684,13 +700,46 @@ class MCMSpectralRenderer:
 
         return shard_spectral_state(state, self.mesh)
 
+    def _compact_tables(self, camera):
+        """Per-camera-pose lane tables + closed-form miss image (cached)."""
+        from vpt_tpu.models import mcm_spectral_compact as C
+
+        inv_mvp = camera.inverse_mvp()
+        key = inv_mvp.tobytes()
+        if key not in self._compact_cache:
+            hit = C.hit_pixel_mask(inv_mvp, self.resolution)
+            t = C.build_lane_tables(hit, self.resolution, self.streams)
+            miss = C.analytic_miss_radiance(
+                inv_mvp, self.resolution, self._light_raw,
+                self.light.direction, self.spectrum.boundaries,
+                self.spectrum.n_bins)
+            self._compact_cache[key] = dict(
+                hit=jnp.asarray(hit),
+                miss=jnp.asarray(miss),
+                lane_ix=jnp.asarray(t["lane_ix"]),
+                lane_iy=jnp.asarray(t["lane_iy"]),
+                lane_seed_iy=jnp.asarray(t["lane_seed_iy"]),
+                lane_pixel=jnp.asarray(t["lane_pixel"]),
+                n_hit=t["n_hit"],
+            )
+        return self._compact_cache[key]
+
     def reset(self, camera, seed: int = 0) -> SpectralState:
+        if self.compaction:
+            from vpt_tpu.models import mcm_spectral_compact as C
+
+            t = self._compact_tables(camera)
+            return C.compact_reset(
+                self.ctx(camera, seed), t["lane_ix"], t["lane_iy"],
+                t["lane_seed_iy"], self.spectrum.n_bins, self.resolution)
         return self.shard_state(
             full_reset(self.ctx(camera, seed), self.resolution,
                        self.spectrum.n_bins, streams=self.streams)
         )
 
     def render(self, state: SpectralState, camera, seed: int):
+        if self.compaction:
+            return self.render_many(state, camera, [seed])
         return render(
             state,
             self.ctx(camera, seed),
@@ -704,6 +753,20 @@ class MCMSpectralRenderer:
         import numpy as np
 
         seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+        if self.compaction:
+            from vpt_tpu.models import mcm_spectral_compact as C
+
+            t = self._compact_tables(camera)
+            ctx = self.ctx(camera, int(np.asarray(seeds)[0]))
+            state = C.render_compact_many(
+                state, ctx, seeds, t["lane_ix"], t["lane_iy"],
+                t["lane_seed_iy"], steps=self.config.steps,
+                n_bins=self.spectrum.n_bins, resolution=self.resolution,
+                volume_filter=self.volume.filter)
+            image = C.compact_image(
+                state, t["lane_pixel"], t["hit"], t["miss"], ctx.bin_xyz,
+                self.resolution, self.streams)
+            return state, image
         return render_many(
             state,
             self.ctx(camera, int(np.asarray(seeds)[0])),

@@ -66,16 +66,34 @@ class PackedVolume:
         return d[0] * d[1] * d[2]
 
     @staticmethod
-    def pack(density, kind: str = "full") -> "PackedVolume":
-        """Build from a raw (D, H, W) grid (host-side, one device upload)."""
+    def pack(density, kind: str = "full",
+             table_dtype: str = "f32") -> "PackedVolume":
+        """Build from a raw (D, H, W) grid (host-side, one device upload).
+
+        ``table_dtype``: "f32" (default), "u8" (quarter bytes; BIT-EXACT
+        when the source volume is u8-quantized — i.e. every density equals
+        round(d*255)/255, the volume readers' native format — and the
+        samplers dequantize with the identical astype(f32)/255
+        expression), or "bf16" (half bytes, lossy ~2^-9 relative).
+        Measured at the 544 MB table: gathers 15.6 (f32) -> 12.0 (u8)
+        ns/idx (tools/layout_hybrid.py)."""
         import numpy as np
 
         packed = (pack_volume_corners_xy if kind == "xy"
                   else pack_volume_corners)(density)
         dims = packed.shape[:3]
-        return PackedVolume(
-            jnp.asarray(packed.reshape(-1, packed.shape[-1])), dims, kind
-        )
+        flat = packed.reshape(-1, packed.shape[-1])
+        if table_dtype == "u8":
+            q = np.round(flat * 255.0)
+            assert np.allclose(q / 255.0, flat, atol=1e-7), (
+                "u8 packed tables require a u8-quantized source volume "
+                "(every density == k/255); use table_dtype='bf16' or 'f32'")
+            flat = q.astype(np.uint8)
+        elif table_dtype == "bf16":
+            flat = jnp.asarray(flat, jnp.bfloat16)
+        elif table_dtype != "f32":
+            raise ValueError(f"unknown table_dtype {table_dtype!r}")
+        return PackedVolume(jnp.asarray(flat), dims, kind)
 
     @staticmethod
     def from_packed4d(packed, kind: str | None = None) -> "PackedVolume":
@@ -97,21 +115,38 @@ FLAT_TABLE_THRESHOLD_BYTES = 100_000_000
 
 
 def pack_volume_auto(density, kind: str = "full",
-                     flat_threshold_bytes: int = FLAT_TABLE_THRESHOLD_BYTES):
+                     flat_threshold_bytes: int = FLAT_TABLE_THRESHOLD_BYTES,
+                     table_dtype: str = "auto"):
     """Pack a raw (D, H, W) grid choosing the fastest device representation
     by table size: the natural 4-D array while small (XLA's planes-major
     layout maps the corner dim onto sublanes — the fastest gather), a flat
     PackedVolume once large (the 4-D layout collapses at scale — see
-    PackedVolume's docstring / ARCHITECTURE.md "the layout wall")."""
+    PackedVolume's docstring / ARCHITECTURE.md "the layout wall").
+
+    ``table_dtype``: "auto" (default) keeps f32 below the flat threshold
+    and, above it, stores the flat table as u8 whenever the source volume
+    is u8-quantized (every density == k/255 — the volume readers' native
+    format): BIT-EXACT and measured 38.1 -> 49.0 Mpaths/s in-situ on the
+    544 MB table (tools/layout_hybrid.py, round 4). Explicit "f32" / "u8"
+    / "bf16" force a representation ("u8"/"bf16" imply flat)."""
     import numpy as np
 
+    if table_dtype not in ("auto", "f32"):
+        return PackedVolume.pack(density, kind, table_dtype=table_dtype)
     packed = (pack_volume_corners_xy if kind == "xy"
               else pack_volume_corners)(density)
     if packed.nbytes >= flat_threshold_bytes:
-        return PackedVolume(
-            jnp.asarray(packed.reshape(-1, packed.shape[-1])),
-            packed.shape[:3], kind,
-        )
+        flat = packed.reshape(-1, packed.shape[-1])
+        if table_dtype == "auto":
+            # exactness checked on the RAW grid (corners are copies of raw
+            # values; the packed table is 4-8x bigger)
+            d = np.asarray(density)
+            q = np.round(d * 255.0)
+            if np.allclose(q / 255.0, d, atol=1e-7):
+                return PackedVolume(
+                    jnp.asarray(np.round(flat * 255.0).astype(np.uint8)),
+                    packed.shape[:3], kind)
+        return PackedVolume(jnp.asarray(flat), packed.shape[:3], kind)
     return jnp.asarray(packed)
 
 
@@ -214,8 +249,8 @@ def _sample_volume_packed_xy(flat, dims, u, v, w, mode):
         raise ValueError(f"packed volumes support linear/quasicubic, not {mode!r}")
 
     plane = by * Wp + bx
-    r0 = jnp.take(flat, z0 * (Hp * Wp) + plane, axis=0)
-    r1 = jnp.take(flat, z1 * (Hp * Wp) + plane, axis=0)
+    r0 = _dequantize_rows(jnp.take(flat, z0 * (Hp * Wp) + plane, axis=0))
+    r1 = _dequantize_rows(jnp.take(flat, z1 * (Hp * Wp) + plane, axis=0))
     c000, c001, c010, c011 = r0[..., 0], r0[..., 1], r0[..., 2], r0[..., 3]
     c100, c101, c110, c111 = r1[..., 0], r1[..., 1], r1[..., 2], r1[..., 3]
 
@@ -292,6 +327,19 @@ def pack_tex2d_with_tex1d_jnp(tex2d, tex1d):
     return jnp.concatenate([t2, aux], axis=-1)
 
 
+def _dequantize_rows(rows):
+    """Gathered corner rows -> f32 lerp operands. Quantized table dtypes
+    (the mid-size band's bandwidth lever, ARCHITECTURE.md "the layout
+    wall", round 4): u8 dequantizes with the same `x.astype(f32)/255`
+    expression volume readers use, so u8-quantized source volumes
+    round-trip BIT-EXACTLY; bf16 is a lossy opt-in (~2^-9 relative)."""
+    if rows.dtype == jnp.uint8:
+        return rows.astype(jnp.float32) / 255.0
+    if rows.dtype != jnp.float32:
+        return rows.astype(jnp.float32)
+    return rows
+
+
 def _sample_volume_packed(flat, dims, u, v, w, mode):
     """Single-gather trilinear/quasi-cubic sampling of a packed corner table
     ((rows, 8) flat + padded dims (D+1, H+1, W+1))."""
@@ -318,6 +366,7 @@ def _sample_volume_packed(flat, dims, u, v, w, mode):
         raise ValueError(f"packed volumes support linear/quasicubic, not {mode!r}")
 
     rows = jnp.take(flat, (bz * Hp + by) * Wp + bx, axis=0)
+    rows = _dequantize_rows(rows)
     c000, c001, c010, c011 = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
     c100, c101, c110, c111 = rows[..., 4], rows[..., 5], rows[..., 6], rows[..., 7]
 
