@@ -49,6 +49,16 @@ def test_render_each_renderer(tmp_path, capsys):
         assert os.path.exists(png)
 
 
+def test_render_spectral_compaction(tmp_path, capsys):
+    png = str(tmp_path / "compact.png")
+    _run(capsys, [
+        "render", "--volume", "sphere_in_cube", "--volume-size", "16",
+        "--resolution", "16", "--frames", "2", "--steps", "4",
+        "--compaction", "--output", png,
+    ])
+    assert os.path.exists(png)
+
+
 def test_render_spectral_with_envmap(tmp_path, capsys):
     env = str(tmp_path / "env.npy")
     np.save(env, np.ones((4, 8, 3), np.float32))

@@ -116,6 +116,48 @@ def test_slab_render_has_exactly_its_two_collectives():
         f"in one rolled loop body, found {n_coll}")
 
 
+def test_slab_prb_grads_collective_contract():
+    """Slab-sharded packed-PRB gradients: the taped forward pays the
+    routed-gather pair per step, the reverse scan pays two all_gathers
+    (indices + update rows) per scattered step, the distributed
+    contraction exactly one halo collective-permute — all in ROLLED
+    loops, so the collective count is independent of `steps`."""
+    from vpt_tpu.parallel import slab
+    from vpt_tpu.ops import interp
+
+    mesh = ray_mesh(8)
+    vol = Volume.sphere_in_cube(16)
+    table = np.zeros((256, 256, 4), np.float32)
+    table[..., 0] = 0.8
+    table[..., 1] = np.linspace(0, 1, 256)[:, None]
+    r = M.MCMSpectralRenderer(
+        vol, MaterialTF(table),
+        LightConfig(direction=(1.0, 0.2, 0.5)), SpectrumConfig(),
+        MCMSpectralConfig(extinction=10.0, bounces=4, steps=STEPS),
+        resolution=RES, pack_tables=True,
+    )
+    cam = Camera()
+    packed = slab.pad_packed_for_slabs(
+        interp.pack_volume_corners(vol.density), 8)
+    ctx = jax.tree.map(
+        lambda x: jax.device_put(x, replicated(mesh)), r.ctx(cam, 3))
+    ctx = ctx._replace(density=slab.shard_packed_volume(packed, mesh))
+    state = shard_spectral_state(r.reset(cam, 3), mesh)
+    g_img = jnp.ones((RES, RES, 3), jnp.float32)
+    hlo = slab.prb_grads_slab(
+        state, ctx, mesh, volume_dims=vol.density.shape, g_image=g_img,
+        steps=STEPS, n_bins=12, lower_only=True).compile().as_text()
+
+    kinds = _collectives(hlo)
+    assert "all-gather" in kinds, kinds
+    assert "collective-permute" in kinds, kinds
+    assert "all-to-all" not in kinds, kinds
+    n_coll = len(COLLECTIVE_RE.findall(hlo))
+    assert n_coll <= 14, (
+        f"slab-PRB collectives must live in rolled loop bodies "
+        f"(count independent of steps); found {n_coll}")
+
+
 def test_sharded_render_executes_bit_identical_to_single_device():
     """The compiled sharded program must also still be CORRECT (guards the
     guard: a collective-free but wrong partition would fail here)."""

@@ -205,7 +205,7 @@ def _contract_slab_adjoint(adj_flat, D, H, W, slab_z):
 
 def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
                    n_bins: int, volume_filter: str = "linear",
-                   scatter_stride: int = 1):
+                   scatter_stride: int = 1, lower_only: bool = False):
     """Packed-PRB density gradients of one render dispatch with the volume
     slab-sharded (VERDICT r3 #6: the composition matrix's last cell).
 
@@ -289,6 +289,8 @@ def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
         out_specs=(state_specs, P(AXIS, None, None), P(AXIS, None, None)),
         check_vma=False,
     )
+    if lower_only:
+        return jax.jit(fn).lower(state, ctx, g_image)
     state_out, image, g = jax.jit(fn)(state, ctx, g_image)
     return state_out, image, {"density": g[:D]}
 
