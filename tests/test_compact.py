@@ -130,6 +130,44 @@ def test_compact_deterministic_and_padded_lanes_harmless():
     assert int(np.asarray(t["lane_pixel"]).size) >= n_lanes_used
 
 
+def test_compact_composes_with_majorant_and_quasicubic():
+    """Compaction is orthogonal to the sampling-mode levers: the majorant
+    mode and quasicubic filtering both run on compact lanes (lane math is
+    shape-generic); converged hit-pixel images agree with the full kernel
+    at the seed-to-seed noise floor (majorants change sample paths, so
+    bit-parity does not apply)."""
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    vol = Volume.sphere_in_cube(16)
+    vol = Volume(vol.density, filter="quasicubic")
+    kw = dict(
+        volume=vol, material_tf=MaterialTF(table),
+        light=LightConfig(direction=(1.0, 0.2, 0.5)),
+        spectrum=SpectrumConfig(),
+        config=MCMSpectralConfig(extinction=30.0, bounces=8, steps=6),
+        resolution=RES, streams=2, majorant_blocks=4,
+    )
+    full = M.MCMSpectralRenderer(**kw)
+    comp = M.MCMSpectralRenderer(**kw, compaction=True)
+    cam = Camera()
+
+    def run(r, seed0, n=120):
+        s = r.reset(cam, seed0)
+        s, img = r.render_many(
+            s, cam, [(seed0 + k + 1) * 2654435761 % 2**32 for k in range(n)])
+        return np.asarray(img)
+
+    a, b = run(full, 1), run(full, 991)
+    c = run(comp, 1)
+    hit = np.asarray(comp._compact_tables(cam)["hit"])
+    floor = np.abs(a[hit] - b[hit]).mean()
+    diff = np.abs(c[hit] - a[hit]).mean()
+    assert np.isfinite(c).all()
+    assert diff < 2.0 * floor + 1e-4, (diff, floor)
+
+
 def test_compact_isotropic_light():
     """Isotropic light (|dir| < eps): miss pixels take intensity only."""
     table = np.zeros((256, 256, 4), np.float32)

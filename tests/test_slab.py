@@ -63,8 +63,9 @@ def test_distributed_gather_matches_local():
     np.testing.assert_array_equal(got, want)
 
 
-@pytest.mark.parametrize("n_devices,stride", [(2, 1), (8, 1), (8, 2)])
-def test_slab_prb_grads_match_replicated(n_devices, stride):
+@pytest.mark.parametrize("n_devices,stride,streams",
+                         [(2, 1, 1), (8, 1, 1), (8, 2, 1), (8, 1, 2)])
+def test_slab_prb_grads_match_replicated(n_devices, stride, streams):
     """Slab-sharded packed-PRB density gradients (routed adjoint scatter +
     distributed pack-transpose contraction) match the replicated
     packed-PRB gradient; the forward image stays bit-identical.
@@ -84,7 +85,7 @@ def test_slab_prb_grads_match_replicated(n_devices, stride):
         volume, MaterialTF(table),
         LightConfig(direction=(1.0, 0.2, 0.3)),
         SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=6),
-        resolution=RES, pack_tables=True,
+        resolution=RES, pack_tables=True, streams=streams,
     )
     cam = Camera()
     mesh = ray_mesh(n_devices)

@@ -471,7 +471,7 @@ def _stride_convergence_section():
         lines += [
             f"### {scene} seed {seed} ({cfg['volume']}^3, {cfg['res']}^2, "
             f"{cfg['dispatches']} dispatches/step, {cfg['iters']} iters, "
-            f"lr {cfg['lr']})",
+            f"lr {cfg['lr']}, init smoothing {cfg.get('init_factor', 8)})",
             "",
             "| method | s/iter | final eval loss | t to 0.5x gap | 0.25x "
             "| 0.1x |",

@@ -161,6 +161,11 @@ def main():
                          "study beyond one scene)")
     ap.add_argument("--seed", type=int, default=7,
                     help="optimizer sample-stream seed (replicates)")
+    ap.add_argument("--init-factor", type=int, default=8,
+                    help="smoothing block size of the init (larger = harder "
+                         "recovery; two_spheres at the default 8 renders "
+                         "nearly like the truth — gap too small to "
+                         "discriminate methods)")
     ap.add_argument("--methods", default="autodiff,prb-s1,prb-s2,prb-s4,prb-s8",
                     help="comma list from {autodiff, prb-sK}")
     ap.add_argument("--out", default=None,
@@ -172,8 +177,10 @@ def main():
         if args.scene == "sphere_in_cube" and args.seed == 7:
             args.out = "tools/convergence_stride.json"
         else:
+            f = ("" if args.init_factor == 8
+                 else f"_f{args.init_factor}")
             args.out = (f"tools/convergence_stride_{args.scene}"
-                        f"_s{args.seed}.json")
+                        f"{f}_s{args.seed}.json")
 
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
@@ -183,7 +190,7 @@ def main():
     else:
         vol = getattr(Volume, args.scene)(args.volume)
     true_density = np.asarray(vol.density, np.float32)
-    init_density = _smoothed(true_density)
+    init_density = _smoothed(true_density, factor=args.init_factor)
 
     # converged target render of the TRUE scene
     renderer = _scene(args.res, true_density, args.steps, args.streams)
@@ -229,7 +236,7 @@ def main():
             config=dict(res=args.res, volume=args.volume, iters=args.iters,
                         dispatches=args.dispatches, streams=args.streams,
                         steps=args.steps, lr=args.lr, scene=args.scene,
-                        seed=args.seed),
+                        seed=args.seed, init_factor=args.init_factor),
             curves=rows), f)
     print(f"wrote {args.out}")
 

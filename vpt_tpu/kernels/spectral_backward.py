@@ -157,8 +157,10 @@ def spectral_backward(state0, ctx, g_image, steps: int, n_bins: int,
     cm = jnp.asarray(XYZ_TO_SRGB_KERNEL) @ ctx.bin_xyz  # (3, B)
     g_rad = jnp.einsum("hwc,cb->bhw", g_image, cm)  # (B, H, W)
     if streams > 1:
+        # broadcast from g_rad's own pixel dims, not (resolution,
+        # resolution): inside shard_map the rows axis is the LOCAL shard
         g_rad = jnp.broadcast_to(
-            g_rad[:, None] / streams, (n_bins, streams, resolution, resolution)
+            g_rad[:, None] / streams, (n_bins, streams) + g_rad.shape[1:]
         )
     m_final = jnp.maximum(state_out.samples, 1).astype(jnp.float32)
 
@@ -598,8 +600,10 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
     cm = jnp.asarray(XYZ_TO_SRGB_KERNEL) @ ctx.bin_xyz  # (3, B)
     g_rad = jnp.einsum("hwc,cb->bhw", g_image, cm)
     if streams > 1:
+        # broadcast from g_rad's own pixel dims, not (resolution,
+        # resolution): inside shard_map the rows axis is the LOCAL shard
         g_rad = jnp.broadcast_to(
-            g_rad[:, None] / streams, (n_bins, streams, resolution, resolution)
+            g_rad[:, None] / streams, (n_bins, streams) + g_rad.shape[1:]
         )
     if m_final is None:
         m_final = jnp.maximum(state_out.samples, 1).astype(jnp.float32)
