@@ -16,11 +16,14 @@ evidence): thinning is unbiased (phase-partition identity,
 tests/test_prb_packed.py::test_scatter_stride_partition_identity) and the
 config-4 convergence study (tools/convergence_stride.py, results in
 CONFIGS.md "stride convergence") shows stride 4 reaches every eval-loss
-threshold fastest in WALL-CLOCK — 37.5s to the deepest threshold vs 46.7s
-for the autodiff surrogate and ~57s for exact PRB — because gradient
-noise is already Monte-Carlo dominated, so ~4x table-grad variance is
-nearly free while scatter indices (the measured wall, ~22-95 ns/index,
-ARCHITECTURE.md "The scatter wall") drop 4x.
+threshold fastest in WALL-CLOCK on the canonical dense-gradient recovery
+(sphere_in_cube; replicated across seeds in r4) — gradient noise is
+already Monte-Carlo dominated, so ~4x table-grad variance is nearly free
+while scatter indices (the measured wall, ~22-95 ns/index,
+ARCHITECTURE.md "The scatter wall") drop 4x. The r4 replicates also
+found the trade's limit: on a sparse-live-voxel recovery (two_spheres,
+16x-smoothed init) thinning stalls and stride 1 wins — the estimator
+choice is a documented, scene-dependent knob, not a universal win.
 
 ``vs_baseline`` grades against BENCH_BASELINE.json: the same workload
 measured with the round-1 differentiable path (12.99 Mpaths/s) — i.e. it

@@ -168,6 +168,38 @@ def test_compact_composes_with_majorant_and_quasicubic():
     assert diff < 2.0 * floor + 1e-4, (diff, floor)
 
 
+def test_compact_session_checkpoint_resume(tmp_path):
+    """The recovery contract holds for compact sessions: kill mid-render,
+    reload, continue — bit-identical to an uninterrupted run."""
+    from vpt_tpu.session import RenderSession
+    from vpt_tpu.scene.volume import Volume as V
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    kw = dict(
+        tonemapper="artistic", resolution=RES, base_seed=3,
+        streams=2, compaction=True,
+    )
+    args = (V.sphere_in_cube(16), MaterialTF(table),
+            LightConfig(direction=(1.0, 0.2, 0.5)), SpectrumConfig(),
+            MCMSpectralConfig(extinction=30.0, bounces=8, steps=4))
+
+    a = RenderSession("mcm-spectral", *args, **kw)
+    a.run(6)
+    img_ref = np.asarray(a.hdr_image())
+
+    b = RenderSession("mcm-spectral", *args, **kw)
+    b.run(3)
+    ck = str(tmp_path / "compact.npz")
+    b.save_checkpoint(ck)
+    c = RenderSession("mcm-spectral", *args, **kw)
+    c.load_checkpoint(ck)
+    c.run(3)
+    np.testing.assert_array_equal(np.asarray(c.hdr_image()), img_ref)
+
+
 def test_compact_isotropic_light():
     """Isotropic light (|dir| < eps): miss pixels take intensity only."""
     table = np.zeros((256, 256, 4), np.float32)

@@ -303,8 +303,12 @@ def fit_spectral(
 
     ``method``: "prb" runs the hand-derived packed-adjoint backward —
     requires pack_tables=True and honors ``scatter_stride`` (see
-    make_spectral_prb_step; stride 4 converges fastest in wall-clock,
-    CONFIGS.md "stride convergence"). "autodiff" differentiates through
+    make_spectral_prb_step). Stride 4 converges fastest in wall-clock on
+    dense-gradient recoveries, but the trade is SCENE-DEPENDENT: when the
+    gradient signal is concentrated in few voxels (sparse scenes, inits
+    in the TF's flat zone), thinning variance stalls convergence — use
+    scatter_stride=1 there (CONFIGS.md "stride convergence", r4 scene/
+    seed replicates). "autodiff" differentiates through
     the REINFORCE surrogate (render_sequence_diff) — works with raw or
     packed tables and arbitrary param subsets; the validation path.
     Default (None): "prb" when the renderer's tables are packed (the
