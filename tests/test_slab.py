@@ -125,6 +125,61 @@ def test_slab_prb_grads_match_replicated(n_devices, stride, streams):
     np.testing.assert_allclose(got_g, ref_g, rtol=2e-5, atol=1e-7)
 
 
+@pytest.mark.parametrize("n_devices,stride", [(8, 1), (8, 2)])
+def test_slab_window_prb_grads_match_replicated(n_devices, stride):
+    """K-dispatch WINDOW gradients (cotangent carry threaded across
+    dispatch boundaries, window-final normalizer) with the volume
+    slab-sharded match the replicated
+    prb_render_and_grads_many(window=True)."""
+    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
+    from vpt_tpu.utils.config import MaterialTF
+
+    volume = Volume.sphere_in_cube(VOL)
+    table = np.zeros((256, 256, 4), np.float32)
+    table[..., 0] = 0.8
+    table[..., 1] = np.linspace(0, 1, 256)[:, None]
+    table[..., 2] = 0.5
+    renderer = M.MCMSpectralRenderer(
+        volume, MaterialTF(table),
+        LightConfig(direction=(1.0, 0.2, 0.3)),
+        SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=6),
+        resolution=RES, pack_tables=True,
+    )
+    cam = Camera()
+    mesh = ray_mesh(n_devices)
+    rng = np.random.default_rng(5)
+    g_image = jnp.asarray(rng.standard_normal((RES, RES, 3)), jnp.float32)
+    seeds = jnp.asarray([11, 12, 13, 14], jnp.uint32)
+
+    ctx = renderer.ctx(cam, 5)
+    state = renderer.reset(cam, 5)
+    ref_state, ref_img, ref_grads = prb_render_and_grads_many(
+        state, ctx, seeds, g_image, steps=6, n_bins=12,
+        wrt=frozenset({"density"}), scatter_stride=stride,
+        window=True, window_storage="forward")
+
+    packed_np = interp.pack_volume_corners(volume.density)
+    padded = slab.pad_packed_for_slabs(packed_np, n_devices)
+    ctx2 = renderer.ctx(cam, 5)._replace(
+        density=slab.shard_packed_volume(padded, mesh))
+    ctx2 = ctx2._replace(
+        **{f: jax.device_put(getattr(ctx2, f), replicated(mesh))
+           for f in ("inv_mvp", "seed_bits", "extinction", "blur",
+                     "max_bounces", "light_direction", "material_tf",
+                     "light_spectrum", "boundaries", "bin_xyz")}
+    )
+    state2 = shard_spectral_state(renderer.reset(cam, 5), mesh)
+    out_state, out_img, grads = slab.prb_window_grads_slab(
+        state2, ctx2, mesh, volume_dims=volume.density.shape, seeds=seeds,
+        g_image=g_image, steps=6, n_bins=12, scatter_stride=stride)
+
+    np.testing.assert_array_equal(np.asarray(out_img), np.asarray(ref_img))
+    ref_g = np.asarray(ref_grads["density"])
+    got_g = np.asarray(grads["density"])
+    assert np.abs(ref_g).max() > 0
+    np.testing.assert_allclose(got_g, ref_g, rtol=2e-5, atol=1e-7)
+
+
 @pytest.mark.parametrize("n_devices", [2, 8])
 def test_slab_render_bit_identical_to_replicated(n_devices):
     volume, renderer, cam, mesh = _setup(n_devices)

@@ -264,13 +264,23 @@ def config3():
 
 
 def config5():
-    # the 8x packed corner table of a 512^3 volume (4.3 GB) exceeds what the
-    # remote compile path handles; the xy half packing (2.1 GB, 2 gathers
-    # per step) is the big-volume mode
+    # two big-volume representations (round 4): the xy half packing
+    # (f32 2.1 GB -> u8 540 MB, 2 gathers/step) vs the FULL 8-wide corner
+    # table, which only fits HBM because auto-u8 quarters it
+    # (f32 4.3 GB -> u8 1.08 GB, 1 gather/step). Both bit-exact for the
+    # u8-quantized source volume.
     fwd = _spectral(512, 1024, spp=256, streams=1, pack_volume="xy")
-    return dict(config=5,
-                desc="512^3 spectral MCM 1024^2 @ 256spp (single-chip slice)",
-                **fwd)
+    out = dict(config=5,
+               desc="512^3 spectral MCM 1024^2 @ 256spp (single-chip slice)",
+               **fwd)
+    try:
+        full = _spectral(512, 1024, spp=256, streams=1, pack_volume=True)
+        out.update({f"full_u8_{k}": v for k, v in full.items()
+                    if k in ("seconds", "mpaths_per_s", "spp_measured",
+                             "image_finite")})
+    except Exception as e:
+        out["full_u8_error"] = f"{type(e).__name__}: {e}"[:200]
+    return out
 
 
 def config_sparse():

@@ -325,9 +325,12 @@ def _packed_vol_meta(ctx):
     return ctx.density.shape[:3], ("xy" if ctx.density.shape[-1] == 4 else "full")
 
 
-def _packed_adj_init(ctx, wrt: frozenset):
+def _packed_adj_init(ctx, wrt: frozenset, vol_meta=None, vol_adj_rows=None):
     """Zero packed-adjoint accumulators for the given ``wrt`` subset (the
-    scan carry of the multi-dispatch backward)."""
+    scan carry of the multi-dispatch backward). ``vol_meta`` /
+    ``vol_adj_rows`` override the volume-adjoint sizing for callers whose
+    ctx.density is not self-describing (the slab wrapper: global packed
+    dims + a per-device local row count)."""
     import numpy as np
 
     adj = {}
@@ -337,9 +340,12 @@ def _packed_adj_init(ctx, wrt: frozenset):
         Hp, Wp, CC = ctx.material_tf.shape
         adj["g_tf"] = jnp.zeros((Hp * Wp, CC), jnp.float32)
     if "density" in wrt:
-        vol_dims, vol_kind = _packed_vol_meta(ctx)
+        vol_dims, vol_kind = vol_meta if vol_meta is not None \
+            else _packed_vol_meta(ctx)
+        rows = (vol_adj_rows if vol_adj_rows is not None
+                else int(np.prod(vol_dims)))
         adj["g_vol"] = jnp.zeros(
-            (int(np.prod(vol_dims)), 4 if vol_kind == "xy" else 8), jnp.float32)
+            (rows, 4 if vol_kind == "xy" else 8), jnp.float32)
     if "environment" in wrt and ctx.environment is not None:
         HpE, WpE, _ = ctx.environment.shape
         adj["g_env"] = jnp.zeros((HpE * WpE, 12), jnp.float32)
@@ -480,8 +486,10 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
         rng0 = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
     else:
-        # slab wrapper: this device's global pixel coordinates + seeds
-        sx, sy, rng0 = pixel_grid
+        # slab wrapper: this device's global pixel coords + a seed_fn so
+        # multi-dispatch windows can reseed per dispatch
+        sx, sy, seed_fn = pixel_grid
+        rng0 = seed_fn(ctx.seed_bits)
 
     Hp, Wp, CC = ctx.material_tf.shape
     TH, TW = Hp - 1, Wp - 1
@@ -845,7 +853,8 @@ def _dispatch_phase(k, seed, n_dispatches, scatter_stride):
 
 
 def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
-                   wrt, scatter_stride, m_final, starts=None):
+                   wrt, scatter_stride, m_final, starts=None,
+                   hooks=None, raw_adjoints=False):
     """Scan the packed-adjoint backward over K per-dispatch seeds inside one
     device program (the fwd+bwd analog of models/mcm_spectral.render_many):
     packed adjoints accumulate across dispatches and contract to the raw
@@ -860,9 +869,18 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
     START states from the phase-0 forward): REVERSE dispatch order with the
     {c, cb} deposit-cotangent carry threaded across boundaries — the
     window-exact estimator (per-seed equal to autodiff of the K-dispatch
-    surrogate when combined with window-final ``m_final``)."""
+    surrogate when combined with window-final ``m_final``).
+
+    ``hooks``: optional dict of the slab-sharded overrides forwarded to
+    spectral_backward_packed (sample_volume_fn, vol_scatter_fn, vol_meta,
+    pixel_grid) plus vol_adj_rows for the adjoint sizing;
+    ``raw_adjoints``: return the uncontracted packed adjoints (the slab
+    wrapper runs its own distributed contraction)."""
+    hooks = dict(hooks or {})
+    vol_adj_rows = hooks.pop("vol_adj_rows", None)
     ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
-    adj0 = _packed_adj_init(ctx, wrt)
+    adj0 = _packed_adj_init(ctx, wrt, vol_meta=hooks.get("vol_meta"),
+                            vol_adj_rows=vol_adj_rows)
 
     if starts is None:
         def body(carry, inp):
@@ -874,11 +892,13 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
             state, _, adj = spectral_backward_packed(
                 state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
                 scatter_stride=scatter_stride, scatter_phase=phase,
-                m_final=m_final, adj_in=adj, raw_adjoints=True)
+                m_final=m_final, adj_in=adj, raw_adjoints=True, **hooks)
             return (state, adj), None
 
         (state, acc), _ = jax.lax.scan(body, (state0, adj0), (seeds, ks))
         image = M.radiance_to_rgb(state.radiance, ctx.bin_xyz)
+        if raw_adjoints:
+            return state, image, acc
         return state, image, _contract_packed_adjoints(acc, ctx, wrt)
 
     zero = jnp.zeros_like(state0.px)
@@ -893,11 +913,13 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
             st_k, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
             scatter_stride=scatter_stride, scatter_phase=phase,
             m_final=m_final, adj_in=adj, raw_adjoints=True,
-            cot_in=cot, return_cot=True)
+            cot_in=cot, return_cot=True, **hooks)
         return (cot, adj), None
 
     (_, acc), _ = jax.lax.scan(body, (cot0, adj0), (starts, seeds, ks),
                                reverse=True)
+    if raw_adjoints:
+        return acc
     return _contract_packed_adjoints(acc, ctx, wrt)
 
 
@@ -978,13 +1000,17 @@ def _window_tape_bytes(state0, steps, n_dispatches, wrt):
 
 
 def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
-                    with_states: bool):
+                    with_states: bool, hooks=None):
     """Untaped K-dispatch forward: (m_final, image, start_states, state_f).
     ``m_final`` is the incremental-mean normalizer (max(samples, 1) at
     window end); ``start_states`` stacks each dispatch's START state over K
     (None unless ``with_states`` — the window backward's reverse-order
-    inputs)."""
-    if not with_states:
+    inputs). ``hooks``: slab overrides (pixel_grid gives this device's
+    (sx, sy, rng-seeding) closure inputs; sample_volume_fn the routed
+    gather)."""
+    hooks = hooks or {}
+    sample_volume_fn = hooks.get("sample_volume_fn")
+    if not with_states and not hooks:
         state_f, image = M.render_many(state0, ctx, seeds, steps=steps,
                                        n_bins=n_bins,
                                        volume_filter=volume_filter)
@@ -992,22 +1018,31 @@ def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
     else:
         resolution = state0.px.shape[-1]
         streams = state0.px.shape[0] if state0.px.ndim == 3 else 1
-        ix, iy, seed_iy = M._pixel_grid(resolution, streams)
-        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+        if hooks.get("pixel_grid") is not None:
+            # slab mode: (sx, sy, seed_fn) — per-dispatch reseeding needs
+            # the seeding COORDS, so the hook supplies a seed function
+            sx, sy, seed_fn = hooks["pixel_grid"]
+        else:
+            ix, iy, seed_iy = M._pixel_grid(resolution, streams)
+            sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+            seed_fn = lambda bits: sampling.seed_state(ix, seed_iy, bits)
 
         def dispatch(p, seed_bits):
-            rng = sampling.seed_state(ix, seed_iy, seed_bits)
+            rng = seed_fn(seed_bits)
 
             def body(_, carry):
                 q, r = carry
                 q, r, _ = M._render_body(q, r, None, sx, sy, ctx, n_bins,
-                                         volume_filter, diff=False)
+                                         volume_filter, diff=False,
+                                         sample_volume_fn=sample_volume_fn)
                 return (q, r)
 
             p2, _ = jax.lax.fori_loop(0, steps, body, (p, rng))
             return p2, p
 
         state_f, starts = jax.lax.scan(dispatch, state0, seeds)
+        if not with_states:
+            starts = None
         image = M.radiance_to_rgb(state_f.radiance, ctx.bin_xyz)
     m = jnp.maximum(state_f.samples, 1).astype(jnp.float32)
     return m, image, starts, state_f

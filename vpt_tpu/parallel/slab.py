@@ -263,7 +263,7 @@ def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
             s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
             seed_iy = iy + s * jnp.uint32(resolution)
         sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
-        rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
+        seed_fn = lambda bits: sampling.seed_state(ix, seed_iy, bits)
 
         def slab_sampler(density, u, v, w, mode="linear"):
             return _sample_volume_slab(
@@ -279,7 +279,7 @@ def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
             adj_in=adj_in, raw_adjoints=True,
             sample_volume_fn=slab_sampler, vol_scatter_fn=slab_scatter,
             vol_meta=((D + 1, H + 1, W + 1), "full"),
-            pixel_grid=(sx, sy, rng))
+            pixel_grid=(sx, sy, seed_fn))
         g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
         return state_out, image, g_raw
 
@@ -293,6 +293,103 @@ def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
         return jax.jit(fn).lower(state, ctx, g_image)
     state_out, image, g = jax.jit(fn)(state, ctx, g_image)
     return state_out, image, {"density": g[:D]}
+
+
+def prb_window_grads_slab(state, ctx, mesh, volume_dims, seeds, g_image,
+                          steps: int, n_bins: int,
+                          volume_filter: str = "linear",
+                          scatter_stride: int = 1,
+                          lower_only: bool = False):
+    """K-dispatch WINDOW packed-PRB density gradients with the volume
+    slab-sharded — the multi-dispatch companion of ``prb_grads_slab`` and
+    the slab analog of ``prb_render_and_grads_many(window=True)``: a
+    phase-0 untaped forward (routed gathers) stacks each dispatch's start
+    state and the window-final normalizer, then the reverse dispatch scan
+    threads the deposit-cotangent carry across boundaries while the
+    volume-adjoint scatters route to their slab owners; the packed
+    adjoint stays (rows/n, width) per device for the WHOLE window and
+    contracts distributively once at the end.
+
+    ``seeds``: (K,) uint32 per-dispatch frame seeds (per-dispatch
+    ctx.seed_bits is ignored, like render_many). Returns
+    (state_f, image, {"density": raw grad}), allclose to the replicated
+    prb_render_and_grads_many(window=True) gradient (tests/test_slab.py).
+    """
+    from vpt_tpu.kernels import spectral_backward as SB
+
+    n = mesh.devices.size
+    resolution = state.px.shape[-1]
+    streams = state.px.shape[0] if state.px.ndim == 3 else 1
+    D, H, W = volume_dims
+    Dp_padded = ctx.density.shape[0]
+    slab_z = Dp_padded // n
+    rows_per_device = slab_z * (H + 1) * (W + 1)
+    rows_local = resolution // n
+
+    lane = P(AXIS, None) if streams == 1 else P(None, AXIS, None)
+    binned = P(None, AXIS, None) if streams == 1 else P(None, None, AXIS, None)
+    state_specs = M.SpectralState(
+        px=lane, py=lane, pz=lane, dx=lane, dy=lane, dz=lane,
+        bounces=lane, samples=lane, bin=lane, wavelength=lane,
+        radiance=binned, transmittance=binned,
+    )
+    ctx_specs = M.SpectralCtx(
+        inv_mvp=P(), seed_bits=P(), extinction=P(), blur=P(),
+        max_bounces=P(), light_direction=P(),
+        density=P(AXIS, None, None, None),
+        material_tf=P(), light_spectrum=P(), boundaries=P(), bin_xyz=P(),
+        environment=None if ctx.environment is None else P(),
+        majorant=None if ctx.majorant is None else P(),
+    )
+
+    def shard_fn(state, ctx, seeds, g_img):
+        me = jax.lax.axis_index(AXIS)
+        shape = (rows_local, resolution) if streams == 1 else (
+            streams, rows_local, resolution)
+        iy_local = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+        ix = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+        iy = iy_local + me.astype(jnp.uint32) * jnp.uint32(rows_local)
+        seed_iy = iy
+        if streams > 1:
+            s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            seed_iy = iy + s * jnp.uint32(resolution)
+        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+        seed_fn = lambda bits: sampling.seed_state(ix, seed_iy, bits)
+
+        def slab_sampler(density, u, v, w, mode="linear"):
+            return _sample_volume_slab(
+                density, u, v, w, rows_per_device, (D, H, W), mode)
+
+        def slab_scatter(adj, idx, upd):
+            return _distributed_scatter_add(adj, idx, upd, rows_per_device)
+
+        hooks = dict(
+            sample_volume_fn=slab_sampler, vol_scatter_fn=slab_scatter,
+            vol_meta=((D + 1, H + 1, W + 1), "full"),
+            pixel_grid=(sx, sy, seed_fn),
+            vol_adj_rows=rows_per_device,
+        )
+        m_final, image, starts, state_f = SB._window_forward(
+            state, ctx, seeds, steps, n_bins, volume_filter,
+            with_states=True, hooks=hooks)
+        acc = SB._prb_many_core(
+            state, ctx, seeds, g_img, steps, n_bins, volume_filter,
+            wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            m_final=m_final, starts=starts, hooks=hooks, raw_adjoints=True)
+        g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
+        return state_f, image, g_raw
+
+    fn = jax.shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(state_specs, ctx_specs, P(), P(AXIS, None, None)),
+        out_specs=(state_specs, P(AXIS, None, None), P(AXIS, None, None)),
+        check_vma=False,
+    )
+    seeds = jnp.asarray(seeds, jnp.uint32)
+    if lower_only:
+        return jax.jit(fn).lower(state, ctx, seeds, g_image)
+    state_f, image, g = jax.jit(fn)(state, ctx, seeds, g_image)
+    return state_f, image, {"density": g[:D]}
 
 
 def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
