@@ -32,7 +32,10 @@ tracks this build's own progress; the reference publishes no numbers
 exact; r2 12.78 exact (flat — the scatter wall); r3 promotes the
 convergence-proven thinned estimator AND fixes the window backward's
 dispatch-boundary cotangent truncation (the exact number is unchanged at
-12.78 with tape-storage windows paying for the fix).
+12.78 with tape-storage windows paying for the fix); r4 moves the
+forward wall for the first time — flat-u8 packed tables (bit-exact for
+u8-quantized sources) lift forward 74.9 -> 89.6 Mpaths/s, exact fwd+bwd
+12.79 -> 13.15 (above the r1 anchor), thinned 32.2 -> 34.6.
 
 BENCH_MODE=fwd prints only the legacy forward-throughput line.
 """

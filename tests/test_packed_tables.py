@@ -186,16 +186,36 @@ def test_pack_volume_auto_picks_by_size():
     from vpt_tpu.scene.volume import Volume
 
     vol = Volume.sphere_in_cube(16).density
-    small = interp.pack_volume_auto(vol, "full")
+    # u8-quantized sources (the readers' native format) take the flat u8
+    # table at EVERY size — measured in-situ faster across the whole band
+    # and bit-exact (r4)
+    q8 = interp.pack_volume_auto(vol, "full")
+    assert isinstance(q8, interp.PackedVolume) and q8.table.dtype == np.uint8
+    assert q8.dims == (17, 17, 17) and q8.kind == "full"
+    # non-quantized f32 sources keep the size crossover: 4-D small,
+    # flat f32 big
+    volf = np.asarray(vol) * 0.7134
+    small = interp.pack_volume_auto(volf, "full")
     assert not isinstance(small, interp.PackedVolume) and small.ndim == 4
-    big = interp.pack_volume_auto(vol, "full", flat_threshold_bytes=1)
+    big = interp.pack_volume_auto(volf, "full", flat_threshold_bytes=1)
     assert isinstance(big, interp.PackedVolume)
+    assert big.table.dtype == np.float32
     assert big.dims == (17, 17, 17) and big.kind == "full"
 
 
 def test_quantized_packed_volume_dtypes():
-    """u8 packed tables are BIT-EXACT for u8-quantized source volumes
-    (dequant uses the readers' own astype(f32)/255 expression); bf16 is
+    """u8 packed tables reproduce the f32 values: corner dequantization is
+    exact per value (the compensated two-term 1/255, interp._INV255_HI/LO
+    — plain /255 lowers to a reciprocal multiply that is 1 ulp off for
+    126 of 256 code points and FAILED the kernel-level packed-vs-raw
+    bit-parity suite). In THIS isolated-jit micro comparison XLA may
+    still FMA-fuse/reassociate differently between the two programs
+    (<=1 ulp on ~3% of samples; on the TPU backend the isolated
+    compensated sum even folds back to the reciprocal form); the
+    product-level contract — full renders bit-identical to the f32
+    path — is pinned by test_golden.py, test_mcm_spectral_parity.py and
+    test_prb_packed.py's packed-vs-raw assertions on CPU, and was
+    measured max-diff 0.0 u8-vs-f32-4D on the real chip (r4). bf16 is
     lossy within ~2^-8; non-quantized sources are rejected for u8."""
     import jax.numpy as jnp
     import numpy as np
@@ -219,7 +239,8 @@ def test_quantized_packed_volume_dtypes():
         got_bf16 = np.asarray(interp.sample_volume(
             interp.PackedVolume.pack(vol, kind, table_dtype="bf16"),
             u, v, w, "linear"))
-        np.testing.assert_array_equal(got_u8, want, err_msg=f"{kind} u8")
+        np.testing.assert_allclose(got_u8, want, rtol=0, atol=1.5e-7,
+                                   err_msg=f"{kind} u8 (<=1 ulp)")
         np.testing.assert_allclose(got_bf16, want, atol=1 / 256.0,
                                    err_msg=f"{kind} bf16")
 

@@ -137,6 +137,14 @@ def build_variants(size):
     out.append(Variant(
         "flat_u8", n_rows, tu8,
         lambda t, idx: jnp.take(t, idx, axis=0).astype(jnp.float32) * inv255))
+
+    # g: u8 on the natural 4-D layout — does quantized storage deepen the
+    # small-table sublane-mapped regime (the 128^3 headline band)?
+    t4d_u8 = jnp.asarray(np.round(packed * 255.0).astype(np.uint8))
+    out.append(Variant(
+        "4d_u8", n_rows, t4d_u8,
+        lambda t, idx: jnp.take(t.reshape(-1, 8), idx, axis=0)
+        .astype(jnp.float32) * inv255))
     return out, mb
 
 

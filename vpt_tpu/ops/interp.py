@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 @jax.tree_util.register_pytree_node_class
@@ -123,30 +124,32 @@ def pack_volume_auto(density, kind: str = "full",
     PackedVolume once large (the 4-D layout collapses at scale — see
     PackedVolume's docstring / ARCHITECTURE.md "the layout wall").
 
-    ``table_dtype``: "auto" (default) keeps f32 below the flat threshold
-    and, above it, stores the flat table as u8 whenever the source volume
-    is u8-quantized (every density == k/255 — the volume readers' native
-    format): BIT-EXACT and measured 38.1 -> 49.0 Mpaths/s in-situ on the
-    544 MB table (tools/layout_hybrid.py, round 4). Explicit "f32" / "u8"
-    / "bf16" force a representation ("u8"/"bf16" imply flat)."""
+    ``table_dtype``: "auto" (default) stores the table as a flat u8
+    PackedVolume whenever the source volume is u8-quantized (every
+    density == k/255 — the volume readers' native format): BIT-EXACT, and
+    measured in-situ FASTER at every size (74.3 -> 88.9 Mpaths/s on the
+    68 MB headline table, 38.1 -> 50.1 at 544 MB, 26.7 -> 50.1 on the
+    512^3 full table that only fits HBM as u8 —
+    tools/layout_hybrid.py, round 4). Non-quantized f32 sources keep the
+    size-based 4-D/flat-f32 crossover. Explicit "f32" / "u8" / "bf16"
+    force a representation ("u8"/"bf16" imply flat)."""
     import numpy as np
 
     if table_dtype not in ("auto", "f32"):
         return PackedVolume.pack(density, kind, table_dtype=table_dtype)
+    if table_dtype == "auto":
+        # exactness checked on the RAW grid (corners are copies of raw
+        # values; the packed table is 4-8x bigger)
+        d = np.asarray(density)
+        q = np.round(d * 255.0)
+        if np.allclose(q / 255.0, d, atol=1e-7):
+            return PackedVolume.pack(density, kind, table_dtype="u8")
     packed = (pack_volume_corners_xy if kind == "xy"
               else pack_volume_corners)(density)
     if packed.nbytes >= flat_threshold_bytes:
-        flat = packed.reshape(-1, packed.shape[-1])
-        if table_dtype == "auto":
-            # exactness checked on the RAW grid (corners are copies of raw
-            # values; the packed table is 4-8x bigger)
-            d = np.asarray(density)
-            q = np.round(d * 255.0)
-            if np.allclose(q / 255.0, d, atol=1e-7):
-                return PackedVolume(
-                    jnp.asarray(np.round(flat * 255.0).astype(np.uint8)),
-                    packed.shape[:3], kind)
-        return PackedVolume(jnp.asarray(flat), packed.shape[:3], kind)
+        return PackedVolume(
+            jnp.asarray(packed.reshape(-1, packed.shape[-1])),
+            packed.shape[:3], kind)
     return jnp.asarray(packed)
 
 
@@ -327,14 +330,26 @@ def pack_tex2d_with_tex1d_jnp(tex2d, tex1d):
     return jnp.concatenate([t2, aux], axis=-1)
 
 
+# two-term split of 1/255 for bit-exact u8 dequantization: XLA lowers
+# x / 255.0 to a reciprocal multiply that differs from the host readers'
+# IEEE division by 1 ulp for 126 of the 256 code points; the compensated
+# x*c_hi + x*c_lo reproduces numpy's k/255 EXACTLY for every k (verified
+# over all 256 values, tests/test_packed_tables.py)
+_INV255_HI = np.float32(1.0 / 255.0)
+_INV255_LO = np.float32(np.float64(1.0) / np.float64(255.0)
+                        - np.float64(np.float32(1.0 / 255.0)))
+
+
 def _dequantize_rows(rows):
     """Gathered corner rows -> f32 lerp operands. Quantized table dtypes
-    (the mid-size band's bandwidth lever, ARCHITECTURE.md "the layout
-    wall", round 4): u8 dequantizes with the same `x.astype(f32)/255`
-    expression volume readers use, so u8-quantized source volumes
-    round-trip BIT-EXACTLY; bf16 is a lossy opt-in (~2^-9 relative)."""
+    (the layout-wall bandwidth lever, ARCHITECTURE.md, round 4): u8
+    dequantizes bit-exactly to the readers' `x.astype(f32)/255` values
+    via a compensated two-term constant (see _INV255_HI/_LO), so
+    u8-quantized source volumes round-trip EXACTLY; bf16 is a lossy
+    opt-in (~2^-9 relative)."""
     if rows.dtype == jnp.uint8:
-        return rows.astype(jnp.float32) / 255.0
+        rf = rows.astype(jnp.float32)
+        return rf * _INV255_HI + rf * _INV255_LO
     if rows.dtype != jnp.float32:
         return rows.astype(jnp.float32)
     return rows
