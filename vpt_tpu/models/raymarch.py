@@ -80,13 +80,17 @@ def sample_tf(density, tf_table, px, py, pz, volume_filter="linear"):
 
 def _pack_if_linear(volume, tf2d):
     """Device-resident (density, tf_table), corner-packed for linear filters
-    (single-gather sampling; bit-identical results — see ops/interp)."""
+    (single-gather sampling; bit-identical results — see ops/interp).
+    pack_volume_auto picks the representation (flat u8 for u8-quantized
+    sources — the r4 layout-wall winner at every size)."""
     density = volume.density
     tf_table = tf2d.rasterize()
     if volume.filter in ("linear", "quasicubic"):
-        density = interp.pack_volume_corners(density)
+        density = interp.pack_volume_auto(density, "full")
         tf_table = interp.pack_tex2d_corners(tf_table)
-    return jnp.asarray(density), jnp.asarray(tf_table)
+    if not isinstance(density, interp.PackedVolume):
+        density = jnp.asarray(density)
+    return density, jnp.asarray(tf_table)
 
 
 # ==========================================================================
