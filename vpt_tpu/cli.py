@@ -80,6 +80,11 @@ def _make_session(args):
 
     volume = _load_volume(args)
     key = args.renderer
+    if getattr(args, "compaction", False) and key not in ("mcm-spectral", "mcm"):
+        # fail at the CLI layer with a clear message (ADVICE r4) instead of
+        # silently ignoring the flag for renderers without a compact mode
+        raise SystemExit(
+            f"--compaction is supported by mcm-spectral and mcm, not {key!r}")
 
     if key == "mcm-spectral":
         table = np.zeros((256, 256, 4), np.float32)
@@ -108,7 +113,7 @@ def _make_session(args):
             MCMConfig(extinction=args.extinction, bounces=args.bounces,
                       steps=args.steps),
             tonemapper=args.tonemapper, resolution=args.resolution,
-            base_seed=args.seed,
+            base_seed=args.seed, compaction=args.compaction,
         )
     elif key == "eam":
         sess = RenderSession(
@@ -333,10 +338,11 @@ def main(argv=None):
         sp.add_argument("--streams", type=int, default=1,
                         help="parallel sample streams per pixel (mcm-spectral)")
         sp.add_argument("--compaction", action="store_true",
-                        help="hit-lane compaction (mcm-spectral, blur=0, "
-                             "no envmap): march only pixels that can hit "
-                             "the cube; miss pixels take the closed-form "
-                             "value (~1.75x at the default pose)")
+                        help="hit-lane compaction (mcm-spectral/mcm, "
+                             "blur=0): march only pixels that can hit the "
+                             "cube; miss pixels take the closed-form value "
+                             "— light spectrum or env-map quadrature "
+                             "(~1.75x at the default pose)")
         sp.add_argument("--majorant-blocks", type=int, default=None,
                         help="super-voxel majorant grid block size in voxels "
                              "(mcm-spectral; statistically exact empty-space "

@@ -218,7 +218,7 @@ class MCMRenderer:
 
     def __init__(self, volume, tf2d=None, environment=None,
                  config: MCMConfig | None = None, resolution: int = 512,
-                 pack_tables: bool = True):
+                 pack_tables: bool = True, compaction: bool = False):
         from vpt_tpu.scene.tf import TransferFunction2D
 
         self.volume = volume
@@ -227,6 +227,16 @@ class MCMRenderer:
         self.resolution = resolution
         if environment is None:
             environment = np.ones((1, 1, 3), np.float32)  # white fallback env
+        # hit-lane compaction (models/mcm_compact.py): march lanes only for
+        # pixels whose ray bundle can hit the cube; miss pixels take the
+        # closed-form E_jitter[env(dir)] (transmittance stays 1 on miss
+        # rays, so the converged value is the subpixel-averaged env lookup)
+        self.compaction = compaction
+        if compaction:
+            if self.config.blur != 0.0:
+                raise ValueError("compaction requires blur=0")
+            self._env_raw = np.asarray(environment, np.float32)
+            self._compact_cache = {}
         density = volume.density
         tf_table = self.tf2d.rasterize()
         if pack_tables and volume.filter in ("linear", "quasicubic"):
@@ -252,16 +262,65 @@ class MCMRenderer:
             **self._static_ctx,
         )
 
+    # bounded per-pose cache, like MCMSpectralRenderer (VERDICT r4 #9)
+    COMPACT_CACHE_POSES = 8
+
+    def _compact_tables(self, camera):
+        """Per-pose lane tables + closed-form miss image (bounded LRU).
+        Shares the spectral compaction's host machinery — the hit test and
+        lane packing are renderer-agnostic geometry."""
+        from vpt_tpu.models import mcm_spectral_compact as C
+
+        inv_mvp = camera.inverse_mvp()
+        key = inv_mvp.tobytes()
+        if key not in self._compact_cache:
+            hit = C.hit_pixel_mask(inv_mvp, self.resolution)
+            t = C.build_lane_tables(hit, self.resolution, streams=1)
+            miss = C.mean_env_image(inv_mvp, self.resolution, self._env_raw)
+            while len(self._compact_cache) >= self.COMPACT_CACHE_POSES:
+                self._compact_cache.pop(next(iter(self._compact_cache)))
+            self._compact_cache[key] = dict(
+                hit=jnp.asarray(hit),
+                miss=jnp.asarray(miss, jnp.float32),
+                lane_ix=jnp.asarray(t["lane_ix"]),
+                lane_iy=jnp.asarray(t["lane_iy"]),
+                lane_pixel=jnp.asarray(t["lane_pixel"]),
+                n_hit=t["n_hit"],
+            )
+        else:
+            self._compact_cache[key] = self._compact_cache.pop(key)
+        return self._compact_cache[key]
+
     def reset(self, camera, seed: int = 0) -> PhotonState:
+        if self.compaction:
+            from vpt_tpu.models import mcm_compact as C
+
+            t = self._compact_tables(camera)
+            return C.compact_reset(self.ctx(camera, seed), t["lane_ix"],
+                                   t["lane_iy"], self.resolution)
         return full_reset(self.ctx(camera, seed), self.resolution)
 
     def render(self, state: PhotonState, camera, seed: int):
+        if self.compaction:
+            return self.render_many(state, camera, [seed])
         return render(state, self.ctx(camera, seed), steps=self.config.steps,
                       volume_filter=self.volume.filter)
 
     def render_many(self, state: PhotonState, camera, seeds):
         """K dispatches in one device program (amortized host overhead)."""
         seeds = jnp.asarray(np.asarray(seeds, np.uint32))
+        if self.compaction:
+            from vpt_tpu.models import mcm_compact as C
+
+            t = self._compact_tables(camera)
+            ctx = self.ctx(camera, int(np.asarray(seeds)[0]))
+            state = C.render_compact_many(
+                state, ctx, seeds, t["lane_ix"], t["lane_iy"],
+                steps=self.config.steps, resolution=self.resolution,
+                volume_filter=self.volume.filter)
+            image = C.compact_image(state, t["lane_pixel"], t["hit"],
+                                    t["miss"], self.resolution)
+            return state, image
         return render_many(
             state, self.ctx(camera, int(np.asarray(seeds)[0])), seeds,
             steps=self.config.steps, volume_filter=self.volume.filter,

@@ -73,6 +73,12 @@ def _distributed_rows(packed_slab, flat_idx, rows_per_device, hw8):
     in_slab = (local >= 0) & (local < rows_per_device)
     safe = jnp.clip(local, 0, rows_per_device - 1)
     rows = jnp.take(packed_slab.reshape(-1, 8), safe, axis=0)
+    # dequantize BEFORE masking/summing: a u8/bf16 auto-packed table would
+    # otherwise feed raw integer codes into the lerp (ADVICE r4); for f32
+    # tables this is an identity passthrough (bit-identical)
+    from vpt_tpu.ops.interp import _dequantize_rows
+
+    rows = _dequantize_rows(rows)
     rows = jnp.where(in_slab[:, None], rows, 0.0)
     # sum over owners and scatter each device its own segment back
     return jax.lax.psum_scatter(rows, AXIS, scatter_dimension=0, tiled=True)
