@@ -103,12 +103,16 @@ def measure_forward(resolution, volume_size, steps, streams, batch, reps):
 
     paths = int(jnp.sum(state.samples).block_until_ready()) - samples_before
     mpaths = paths / dt / 1e6
+    # lane-steps are exact: every lane executes every fori step of every
+    # dispatch (the lockstep megakernel), so the rate is a closed form
+    lane_steps = resolution * resolution * streams * steps * reps * batch
     print(
         f"# fwd: {reps * batch} dispatches in {dt:.3f}s; "
-        f"{paths / (resolution * resolution):.1f} spp; {mpaths:.1f} Mpaths/s",
+        f"{paths / (resolution * resolution):.1f} spp; {mpaths:.1f} Mpaths/s; "
+        f"{lane_steps / dt / 1e6:.1f} M lane-steps/s",
         file=sys.stderr,
     )
-    return mpaths
+    return mpaths, lane_steps / dt
 
 
 def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
@@ -147,12 +151,122 @@ def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
     paths = int(jnp.sum(state.samples)) - s_before
     spp = paths / (resolution * resolution * streams)
     mpaths = paths / dt / 1e6
+    lane_steps = resolution * resolution * streams * steps * reps * chunk
     print(
         f"# fwd+bwd (stride={scatter_stride}): {reps * chunk} dispatches in "
-        f"{dt:.2f}s; {spp:.1f} spp; {mpaths:.2f} Mpaths/s",
+        f"{dt:.2f}s; {spp:.1f} spp; {mpaths:.2f} Mpaths/s; "
+        f"{lane_steps / dt / 1e6:.1f} M lane-steps/s",
         file=sys.stderr,
     )
-    return mpaths
+    return mpaths, lane_steps / dt
+
+
+def check_u8_bit_exact():
+    """On-chip KERNEL-LEVEL guard for the u8 packed-table exactness claim
+    (ADVICE r4): sampling a u8-quantized volume through the packed-u8 fast
+    path must be bit-identical to the raw-f32 path for every code, ON THIS
+    BACKEND — an XLA upgrade that re-fuses the compensated 1/255 into a
+    reciprocal multiply would break bit-parity silently. Note the ISOLATED
+    dequantize expression DOES fold back to a reciprocal multiply on the
+    TPU backend (a known lowering fact, tests/test_packed_tables.py); the
+    exactness claim is about the sampler's fusion context, so this check
+    runs the actual sample_volume path on all 256 codes at random
+    coordinates."""
+    import jax
+    import jax.numpy as jnp
+    from vpt_tpu.ops import interp
+
+    codes = np.arange(256, dtype=np.uint8).reshape(4, 8, 8)
+    raw = codes.astype(np.float32) / np.float32(255.0)
+    pv = interp.pack_volume_auto(raw, "full")
+    assert isinstance(pv, interp.PackedVolume) and pv.table.dtype == jnp.uint8
+    rng = np.random.default_rng(0)
+    u, v, w = (jnp.asarray(rng.random(4096, dtype=np.float32))
+               for _ in range(3))
+
+    @jax.jit
+    def sample(vol, u, v, w):
+        return interp.sample_volume(vol, u, v, w, "linear")
+
+    a = np.asarray(sample(jnp.asarray(raw), u, v, w))
+    b = np.asarray(sample(pv, u, v, w))
+    ok = bool((a == b).all())
+    if not ok:
+        bad = int((a != b).sum())
+        print(f"# WARNING: packed-u8 sampling NOT bit-exact on this backend "
+              f"({bad}/{a.size} samples differ) — XLA re-fused the "
+              f"compensated 1/255; auto-u8 packed tables lost bit-parity",
+              file=sys.stderr)
+    return ok
+
+
+def measure_ceilings(volume_size):
+    """Speed-of-light microbenches for the two memory walls, measured on
+    the CURRENT device at the bench's own table sizes (VERDICT r4 #7):
+
+    - gather ceiling: lane-steps/s of the forward's binding access — one
+      8-wide u8 corner-row gather per lane-step (the TF/light gather hides
+      under it, ARCHITECTURE.md "the gather wall");
+    - scatter ceiling: lane-steps/s of the exact backward's binding access
+      — one 8-wide f32 row scatter-add into the packed-volume adjoint.
+
+    Methodology matches the recorded campaign numbers (tools/
+    gather_bench*.py, tools/coalesce_bench.py): precomputed random index
+    streams scanned step-by-step, one access per lane per step.
+    """
+    import jax
+    import jax.numpy as jnp
+    from vpt_tpu.ops.interp import _dequantize_rows
+
+    lanes = 1 << 20
+    iters = 16
+    Dp = volume_size + 1
+    rows = Dp * Dp * Dp
+    rng = np.random.default_rng(1)
+    idx = jnp.asarray(rng.integers(0, rows, (iters, lanes), dtype=np.int32))
+    table = jnp.zeros((rows, 8), jnp.uint8)
+    upd = jnp.ones((lanes, 8), jnp.float32)
+
+    @jax.jit
+    def gather_run(idx, t):
+        def body(acc, ix):
+            r = _dequantize_rows(jnp.take(t, ix, axis=0))
+            return acc + jnp.sum(r, axis=-1), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((lanes,), jnp.float32), idx)
+        return acc
+
+    @jax.jit
+    def scatter_run(idx, upd):
+        # adjoint initialized INSIDE the program, like the real backward's
+        # _packed_adj_init — passing it as a donated argument forces a
+        # full-table copy through the tunnel relay (measured 2x per-index
+        # cost inflation)
+        def body(a, ix):
+            return a.at[ix].add(upd), None
+
+        a, _ = jax.lax.scan(body, jnp.zeros((rows, 8), jnp.float32), idx)
+        return a
+
+    # sync via data fetches: block_until_ready can return before execution
+    # through the async tunnel relay (ARCHITECTURE.md environment lessons)
+    out = {}
+    r = gather_run(idx, table)
+    float(jnp.sum(r))
+    t0 = time.perf_counter()
+    r = gather_run(idx, table)
+    float(jnp.sum(r))
+    out["gather_ceiling_lane_steps_per_s"] = lanes * iters / (
+        time.perf_counter() - t0)
+
+    a = scatter_run(idx, upd)
+    float(jnp.sum(a))
+    t0 = time.perf_counter()
+    a = scatter_run(idx, upd)
+    float(jnp.sum(a))
+    out["scatter_ceiling_lane_steps_per_s"] = lanes * iters / (
+        time.perf_counter() - t0)
+    return out
 
 
 def _vs_baseline(value, key="value"):
@@ -170,24 +284,39 @@ def main():
     volume_size = int(os.environ.get("BENCH_VOLUME", "128"))
     streams = int(os.environ.get("BENCH_STREAMS", "4"))
 
-    fwd = measure_forward(resolution, volume_size, steps, streams,
-                          batch=int(os.environ.get("BENCH_BATCH", "64")),
-                          reps=int(os.environ.get("BENCH_REPS", "5")))
+    u8_ok = check_u8_bit_exact()
+    ceil = measure_ceilings(volume_size)
+    g_ceil = ceil["gather_ceiling_lane_steps_per_s"]
+    s_ceil = ceil["scatter_ceiling_lane_steps_per_s"]
+    # exact fwd+bwd pays both walls per lane-step (one corner-row gather in
+    # the taped forward + one adjoint-row scatter in the reverse); per-index
+    # costs are additive, so the combined ceiling is the harmonic form
+    fb_ceil = 1.0 / (1.0 / g_ceil + 1.0 / s_ceil)
+
+    fwd, fwd_ls = measure_forward(
+        resolution, volume_size, steps, streams,
+        batch=int(os.environ.get("BENCH_BATCH", "64")),
+        reps=int(os.environ.get("BENCH_REPS", "5")))
     if os.environ.get("BENCH_MODE") == "fwd":
         print(json.dumps({
             "metric": "spectral_mcm_fwd_throughput_512x512",
             "value": round(fwd, 3),
             "unit": "Mpaths/s/chip",
             "vs_baseline": _vs_baseline(fwd, key="fwd_value"),
+            "fwd_lane_steps_per_s": round(fwd_ls),
+            "gather_ceiling_lane_steps_per_s": round(g_ceil),
+            "fwd_fraction_of_gather_ceiling": round(fwd_ls / g_ceil, 3),
+            "u8_dequantize_bit_exact": u8_ok,
             "baseline": "this build's round-1 measurement "
                         "(BENCH_BASELINE.json); reference publishes none",
         }))
         return
 
     target_spp = int(os.environ.get("BENCH_SPP", "64"))
-    exact = measure_fwdbwd(resolution, volume_size, steps, streams, target_spp)
-    thinned = measure_fwdbwd(resolution, volume_size, steps, streams,
-                             target_spp, scatter_stride=4)
+    exact, exact_ls = measure_fwdbwd(resolution, volume_size, steps, streams,
+                                     target_spp)
+    thinned, _ = measure_fwdbwd(resolution, volume_size, steps, streams,
+                                target_spp, scatter_stride=4)
     print(json.dumps({
         "metric": "spectral_mcm_fwdbwd_thinned_s4_512x512_64spp",
         "value": round(thinned, 3),
@@ -198,13 +327,23 @@ def main():
         "thinned_vs_exact_baseline": _vs_baseline(thinned),
         "fwd_mpaths_per_s": round(fwd, 3),
         "fwdbwd_exact_stride1": round(exact, 3),
+        # speed-of-light occupancy (VERDICT r4 #7): lane-step rates vs the
+        # gather/scatter walls measured ON THIS DEVICE at this table size
+        "fwd_lane_steps_per_s": round(fwd_ls),
+        "gather_ceiling_lane_steps_per_s": round(g_ceil),
+        "fwd_fraction_of_gather_ceiling": round(fwd_ls / g_ceil, 3),
+        "fwdbwd_exact_lane_steps_per_s": round(exact_ls),
+        "scatter_ceiling_lane_steps_per_s": round(s_ceil),
+        "fwdbwd_ceiling_lane_steps_per_s": round(fb_ceil),
+        "fwdbwd_fraction_of_ceiling": round(exact_ls / fb_ceil, 3),
+        "u8_dequantize_bit_exact": u8_ok,
         "baseline": "BENCH_BASELINE.json = this build's round-1 exact "
                     "fwd+bwd (12.99; reference publishes none). "
                     "vs_baseline grades fwdbwd_exact_stride1 against it "
                     "(same estimator); thinned_vs_exact_baseline is the "
                     "stride-4 headline over the same anchor, promoted on "
                     "the CONFIGS.md stride-convergence evidence. "
-                    "CONFIGS.md regenerated this round: r4 (2026-08-21).",
+                    "CONFIGS.md regenerated this round: r5 (2026-08-21).",
     }))
 
 

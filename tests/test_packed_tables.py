@@ -204,27 +204,37 @@ def test_pack_volume_auto_picks_by_size():
 
 
 def test_quantized_packed_volume_dtypes():
-    """u8 packed tables reproduce the f32 values: corner dequantization is
-    exact per value (the compensated two-term 1/255, interp._INV255_HI/LO
-    — plain /255 lowers to a reciprocal multiply that is 1 ulp off for
-    126 of 256 code points and FAILED the kernel-level packed-vs-raw
-    bit-parity suite). In THIS isolated-jit micro comparison XLA may
-    still FMA-fuse/reassociate differently between the two programs
-    (<=1 ulp on ~3% of samples; on the TPU backend the isolated
-    compensated sum even folds back to the reciprocal form); the
-    product-level contract — full renders bit-identical to the f32
-    path — is pinned by test_golden.py, test_mcm_spectral_parity.py and
-    test_prb_packed.py's packed-vs-raw assertions on CPU, and was
-    measured max-diff 0.0 u8-vs-f32-4D on the real chip (r4). bf16 is
-    lossy within ~2^-8; non-quantized sources are rejected for u8."""
+    """u8 packed tables reproduce the f32 values BIT-EXACTLY for all 256
+    codes (round-5 correction of the r4 record): plain /255 lowers to a
+    reciprocal multiply 1 ulp off for 126/256 codes; the r4 "compensated
+    two-term" constant was itself wrong for 121/256 codes in pure f32
+    arithmetic (k*c_hi already rounds) and its on-chip "max-diff 0.0" was
+    scene luck (sphere_in_cube only contains codes {0, 100, 255}). The
+    shipped form is a barriered Newton residual step (interp._INV255
+    comment) — exact for EVERY code, asserted here over a volume
+    containing all 256 codes. bench.py re-asserts the same property on
+    the real TPU every round (the barrier keeps XLA's simplifier from
+    folding the step back to the reciprocal form — measured load-bearing
+    on the TPU backend). bf16 is lossy within ~2^-8; non-quantized
+    sources are rejected for u8."""
+    import jax
     import jax.numpy as jnp
     import numpy as np
     import pytest
 
     from vpt_tpu.ops import interp
-    from vpt_tpu.scene.volume import Volume
 
-    vol = Volume.sphere_in_cube(16).density  # u8-quantized by construction
+    # isolated dequantize: exact for all 256 codes
+    codes = np.arange(256, dtype=np.uint8)
+    got = np.asarray(jax.jit(interp._dequantize_rows)(
+        jnp.asarray(codes[:, None])))
+    want_codes = codes.astype(np.float32) / np.float32(255.0)
+    np.testing.assert_array_equal(got[:, 0], want_codes)
+
+    # kernel-level: a volume containing ALL 256 codes, sampled through the
+    # real trilinear path — u8 must be bit-identical to f32
+    vol = (codes.reshape(4, 8, 8).astype(np.float32)
+           / np.float32(255.0))
     rng = np.random.default_rng(4)
     u = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
     v = jnp.asarray(rng.random(500, dtype=np.float32) * 1.2 - 0.1)
@@ -239,8 +249,8 @@ def test_quantized_packed_volume_dtypes():
         got_bf16 = np.asarray(interp.sample_volume(
             interp.PackedVolume.pack(vol, kind, table_dtype="bf16"),
             u, v, w, "linear"))
-        np.testing.assert_allclose(got_u8, want, rtol=0, atol=1.5e-7,
-                                   err_msg=f"{kind} u8 (<=1 ulp)")
+        np.testing.assert_array_equal(got_u8, want,
+                                      err_msg=f"{kind} u8 (bit-exact)")
         np.testing.assert_allclose(got_bf16, want, atol=1 / 256.0,
                                    err_msg=f"{kind} bf16")
 

@@ -41,7 +41,8 @@ def test_collective_microbench_reports_finite_bandwidth():
 def test_scaling_sweep_runs_and_scales():
     rows = scaling_sweep(
         device_counts=[1, 2, 8],
-        resolution_per_device=16,
+        rows_per_device=16,
+        width=32,
         volume_size=16,
         steps=4,
         dispatches=4,
@@ -50,7 +51,10 @@ def test_scaling_sweep_runs_and_scales():
     assert [r["devices"] for r in rows] == [1, 2, 8]
     for r in rows:
         assert np.isfinite(r["rays_per_s"]) and r["rays_per_s"] > 0
-        assert r["resolution"] == 16 * r["devices"]
+        assert r["rows"] == 16 * r["devices"]
+        # the weak-scaling contract (VERDICT r4 #2): per-device lane count
+        # is CONSTANT across the sweep
+        assert r["lanes_per_device"] == 16 * 32
     # single-device efficiency is 1 by definition; multi-device runs must
     # complete with sane (finite, positive) efficiency — the tight >=85%
     # bound is a real-ICI target, not a shared-CPU-host one

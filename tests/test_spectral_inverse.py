@@ -175,3 +175,112 @@ def test_sanitize_grads_bounds_spikes_and_kills_nan():
     assert np.isnan(np.asarray(optax.apply_updates(p, upd)["d"][0]))
     upd, _ = opt.update(sanitize_grads(bad, 1e3), opt.init(p), p)
     assert np.isfinite(np.asarray(optax.apply_updates(p, upd)["d"])).all()
+
+
+def test_live_gradient_fraction_and_auto_stride():
+    """The adaptive-stride probe (VERDICT r4 #1): broad-support scenes get
+    the thinned stride, concentrated-support scenes get the exact one —
+    calibrated on the r4 study scenes' measured fractions."""
+    from vpt_tpu.optim import auto_initial_stride, live_gradient_fraction
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+
+    dense = np.random.default_rng(0).uniform(0.3, 1.0, (16, 16, 16))
+    sparse = np.full((16, 16, 16), 0.1, np.float32)  # under the TF dead zone
+    assert live_gradient_fraction(dense, table) > 0.9
+    assert live_gradient_fraction(sparse, table) == 0.0
+    s, f = auto_initial_stride(dense, table)
+    assert s == 4 and f > 0.9
+    s, f = auto_initial_stride(sparse, table)
+    assert s == 1 and f == 0.0
+    # a flat TF (zero alpha-slope everywhere) has no live voxels at all
+    flat = np.full((256, 256, 4), 0.5, np.float32)
+    assert live_gradient_fraction(dense, flat) == 0.0
+
+
+def test_eval_stall_detector():
+    from vpt_tpu.optim import EvalStallDetector
+
+    d = EvalStallDetector(rel_improve=0.02, patience=2)
+    assert not d.update(1.0)      # first value: becomes best
+    assert not d.update(0.9)      # improving
+    assert not d.update(0.895)    # < 2% improvement: strike 1
+    assert d.update(0.894)        # strike 2 -> stall
+    d2 = EvalStallDetector(rel_improve=0.02, patience=2)
+    assert not d2.update(1.0)
+    assert not d2.update(0.99)    # strike 1
+    assert not d2.update(0.5)     # big improvement resets strikes
+    assert not d2.update(0.499)   # strike 1 again
+    assert d2.update(0.499)       # strike 2 -> stall
+
+
+def test_fit_spectral_auto_stride_probe_and_anneal():
+    """scatter_stride='auto' end-to-end: the packed-path fit picks the
+    probe's stride, records it in info, and a constant-alpha (flat-slope)
+    TF forces initial stride 1 without any annealing machinery."""
+    from vpt_tpu.scene.volume import Volume as V
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    vol = V.sphere_in_cube(8)
+
+    def packed_renderer(v):
+        return M.MCMSpectralRenderer(
+            v, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
+            SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=8),
+            resolution=RES, pack_tables=True)
+
+    r = packed_renderer(vol)
+    cam = Camera()
+    s = r.reset(cam, 5)
+    s, target = r.render_many(
+        s, cam, [(5 + k + 1) * 2654435761 % 2**32 for k in range(8)])
+
+    # dense-ish init (values inside the TF live zone) -> stride 4
+    dense_init = np.full(vol.density.shape, 0.6, np.float32)
+    _, _, info = fit_spectral(
+        np.asarray(target), packed_renderer(V(density=dense_init)), cam,
+        {"density": dense_init}, iterations=2, dispatches_per_step=2,
+        return_info=True)
+    assert info["method"] == "prb"
+    assert info["stride_history"][0] == (0, 4)
+    assert info["live_fraction"] > 0.9
+
+    # init under the TF dead zone -> the probe demands the exact estimator
+    sparse_init = np.full(vol.density.shape, 0.1, np.float32)
+    _, _, info = fit_spectral(
+        np.asarray(target), packed_renderer(V(density=sparse_init)), cam,
+        {"density": sparse_init}, iterations=2, dispatches_per_step=2,
+        return_info=True)
+    assert info["stride_history"][0] == (0, 1)
+    assert info["final_stride"] == 1
+
+
+def test_fit_spectral_warns_on_stride_fallback():
+    """A user-requested stride that does not divide steps is lowered with a
+    warning and recorded (ADVICE r4)."""
+    import warnings as W
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    vol = Volume.sphere_in_cube(8)
+    r = M.MCMSpectralRenderer(
+        vol, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
+        SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=6),
+        resolution=RES, pack_tables=True)
+    cam = Camera()
+    s = r.reset(cam, 5)
+    s, target = r.render_many(s, cam, [11, 12])
+    init = np.full(vol.density.shape, 0.6, np.float32)
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        _, _, info = fit_spectral(
+            np.asarray(target), r, cam, {"density": init}, iterations=1,
+            dispatches_per_step=2, scatter_stride=4, return_info=True)
+    assert any("largest divisor" in str(w.message) for w in caught)
+    assert info["stride_history"][0] == (0, 3)  # largest divisor of 6 <= 4

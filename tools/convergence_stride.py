@@ -83,12 +83,30 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
 
     params = {"density": jnp.asarray(init_density)}
     optimizer = optax.adam(lr)
+
+    def prb_step(s):
+        return optim.make_spectral_prb_step(
+            optimizer, steps, n_bins, wrt=frozenset({"density"}),
+            scatter_stride=s)
+
+    stride_switches = []
     if kind == "autodiff":
         step = optim.make_spectral_inverse_step(optimizer, steps, n_bins)
+    elif kind == "auto":
+        # the SHIPPED policy (optim.fit_spectral scatter_stride="auto"):
+        # initial stride from the live-gradient probe, anneal to 1 on
+        # eval-loss stall. Policy evals run ON the clock (they are part of
+        # the estimator's cost); the off-clock metric eval is separate.
+        table = np.zeros((256, 256, 4), np.float32)
+        dens = np.linspace(0, 1, 256)[:, None]
+        table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+        stride, frac = optim.auto_initial_stride(init_density, table)
+        print(f"# auto: live fraction {frac:.4f} -> initial stride {stride}")
+        stride_switches.append((0, stride))
+        step = prb_step(stride)
     else:
-        step = optim.make_spectral_prb_step(
-            optimizer, steps, n_bins, wrt=frozenset({"density"}),
-            scatter_stride=stride)
+        stride = stride
+        step = prb_step(stride)
 
     def seeds_for(i):
         return jnp.asarray(
@@ -114,12 +132,24 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
                                n_bins=n_bins)
         return jnp.mean((img - tgt) ** 2)
 
-    # warm the compiles outside the clock
+    # warm the compiles outside the clock (for "auto", warm the stride-1
+    # step too — the anneal switch's one-time compile is excluded like
+    # every other compile in this tool)
     warm = optim.InverseState(params, optimizer.init(params),
                               jnp.zeros((), jnp.int32))
     warm, wl = step(warm, state0, base_ctx, seeds_for(10**6), tgt)
     float(wl)
     float(eval_loss(warm.params))
+    step_s1 = None
+    if kind == "auto" and stride > 1:
+        step_s1 = prb_step(1)
+        warm1 = optim.InverseState(params, optimizer.init(params),
+                                   jnp.zeros((), jnp.int32))
+        warm1, wl1 = step_s1(warm1, state0, base_ctx, seeds_for(10**6), tgt)
+        float(wl1)
+
+    detector = optim.EvalStallDetector() if kind == "auto" else None
+    eval_every = 10
 
     istate = optim.InverseState(
         {"density": jnp.asarray(init_density)},
@@ -132,6 +162,13 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
         t0 = time.perf_counter()
         istate, loss = step(istate, state0, base_ctx, seeds_for(i), tgt)
         lv = float(loss)  # sync
+        if kind == "auto" and stride > 1 and (i + 1) % eval_every == 0:
+            # the policy's stall check is part of the estimator: ON clock
+            if detector.update(float(eval_loss(istate.params))):
+                stride = 1
+                step = step_s1
+                stride_switches.append((i + 1, 1))
+                print(f"# auto: eval stall -> stride 1 at iter {i + 1}")
         elapsed += time.perf_counter() - t0
         times.append(round(elapsed, 4))
         train_loss.append(lv)
@@ -139,9 +176,13 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
         eval_losses.append(float(eval_loss(istate.params)))
         d = np.asarray(istate.params["density"])
         dens_mse.append(float(np.mean((d - true_density) ** 2)))
-    return dict(method=kind if kind == "autodiff" else f"prb-s{stride}",
-                times=times, train_loss=train_loss, eval_loss=eval_losses,
-                init_eval_loss=init_eval, density_mse=dens_mse)
+    name = {"autodiff": "autodiff", "auto": "auto"}.get(kind, f"prb-s{stride}")
+    out = dict(method=name,
+               times=times, train_loss=train_loss, eval_loss=eval_losses,
+               init_eval_loss=init_eval, density_mse=dens_mse)
+    if kind == "auto":
+        out["stride_switches"] = stride_switches
+    return out
 
 
 def main():
@@ -166,8 +207,10 @@ def main():
                          "recovery; two_spheres at the default 8 renders "
                          "nearly like the truth — gap too small to "
                          "discriminate methods)")
-    ap.add_argument("--methods", default="autodiff,prb-s1,prb-s2,prb-s4,prb-s8",
-                    help="comma list from {autodiff, prb-sK}")
+    ap.add_argument("--methods",
+                    default="autodiff,prb-s1,prb-s2,prb-s4,prb-s8,auto",
+                    help="comma list from {autodiff, prb-sK, auto}; auto = "
+                         "the shipped adaptive policy (probe + stall anneal)")
     ap.add_argument("--out", default=None,
                     help="default: tools/convergence_stride.json for the "
                          "primary (sphere_in_cube seed 7), else "
@@ -214,6 +257,8 @@ def main():
     for m in wanted:
         if m == "autodiff":
             plan.append(("autodiff", 0))
+        elif m == "auto":
+            plan.append(("auto", 0))
         elif m.startswith("prb-s"):
             plan.append(("prb", int(m[len("prb-s"):])))
         else:

@@ -382,8 +382,11 @@ def main(argv=None):
                     help="spectral-MCM inverse on the packed-PRB fast path")
     sp.add_argument("--method", choices=["prb", "autodiff"], default=None,
                     help="gradient estimator (default: auto)")
-    sp.add_argument("--scatter-stride", type=int, default=4,
-                    help="PRB scatter thinning stride (unbiased)")
+    sp.add_argument("--scatter-stride", default="auto",
+                    type=lambda s: s if s == "auto" else int(s),
+                    help="PRB scatter thinning stride (unbiased); 'auto' "
+                         "probes the live-gradient fraction and anneals to "
+                         "1 on eval-loss stall (optim.fit_spectral)")
     sp.set_defaults(fn=cmd_invert)
 
     args = p.parse_args(argv)

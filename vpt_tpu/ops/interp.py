@@ -330,26 +330,39 @@ def pack_tex2d_with_tex1d_jnp(tex2d, tex1d):
     return jnp.concatenate([t2, aux], axis=-1)
 
 
-# two-term split of 1/255 for bit-exact u8 dequantization: XLA lowers
-# x / 255.0 to a reciprocal multiply that differs from the host readers'
-# IEEE division by 1 ulp for 126 of the 256 code points; the compensated
-# x*c_hi + x*c_lo reproduces numpy's k/255 EXACTLY for every k (verified
-# over all 256 values, tests/test_packed_tables.py)
-_INV255_HI = np.float32(1.0 / 255.0)
-_INV255_LO = np.float32(np.float64(1.0) / np.float64(255.0)
-                        - np.float64(np.float32(1.0 / 255.0)))
+# Bit-exact u8 dequantization (round-5 correction of the round-4 record):
+# XLA lowers x / 255.0 to a reciprocal multiply that differs from the host
+# readers' IEEE division by 1 ulp for 126 of the 256 code points. The r4
+# "compensated two-term" constant split was NOT a fix — k * c_hi already
+# rounds (8-bit k x 24-bit c_hi = 32-bit product), and that rounding error
+# is what the correction must capture, so the two-term form is itself
+# wrong for 121/256 codes in pure f32 arithmetic; the r4 on-chip
+# "max-diff 0.0" was scene luck (sphere_in_cube only contains codes
+# {0, 100, 255}, none of them bad). The correct form is one Newton
+# residual step: t = k*c; r = k - t*255; out = t + r*c — exact for all
+# 256 codes in faithful f32 arithmetic (r recovers t's rounding error
+# scaled by 255, exactly representable because k and 255*t are close).
+# The optimization_barrier is load-bearing: XLA:TPU's algebraic
+# simplifier otherwise folds the whole expression back to the single
+# reciprocal multiply (measured: the exact 126-code mismatch signature).
+# Verified over all 256 codes on TPU and CPU, isolated and inside the
+# sampler (tests/test_packed_tables.py; bench.py re-checks on-chip every
+# round). Measured cost: none (gather wall, 180 M lane-steps/s either way).
+_INV255 = np.float32(1.0 / 255.0)
 
 
 def _dequantize_rows(rows):
     """Gathered corner rows -> f32 lerp operands. Quantized table dtypes
     (the layout-wall bandwidth lever, ARCHITECTURE.md, round 4): u8
     dequantizes bit-exactly to the readers' `x.astype(f32)/255` values
-    via a compensated two-term constant (see _INV255_HI/_LO), so
+    via a barriered Newton residual step (see _INV255 comment), so
     u8-quantized source volumes round-trip EXACTLY; bf16 is a lossy
     opt-in (~2^-9 relative)."""
     if rows.dtype == jnp.uint8:
         rf = rows.astype(jnp.float32)
-        return rf * _INV255_HI + rf * _INV255_LO
+        t = jax.lax.optimization_barrier(rf * _INV255)
+        r = rf - t * jnp.float32(255.0)
+        return t + r * _INV255
     if rows.dtype != jnp.float32:
         return rows.astype(jnp.float32)
     return rows
