@@ -209,3 +209,73 @@ def test_slab_render_bit_identical_to_replicated(n_devices):
     )
     np.testing.assert_array_equal(np.asarray(out_img), ref_img)
     np.testing.assert_array_equal(np.asarray(out_state.samples), ref_samples)
+
+
+def test_pack_slab_rows_matches_host_packer():
+    """The in-graph per-device slab packer reproduces the host
+    pack_volume_corners rows exactly (including the zero padding rows of
+    pad_packed_for_slabs)."""
+    vol = Volume.two_spheres(8).density
+    D = vol.shape[0]
+    n = 4
+    full = interp.pack_volume_corners(vol)           # (D+1, H+1, W+1, 8)
+    padded = slab.pad_packed_for_slabs(full, n)
+    slab_z = padded.shape[0] // n
+    raw = jnp.asarray(vol)
+    for d in range(n):
+        got = np.asarray(slab._pack_slab_rows(raw, d * slab_z, slab_z, D))
+        np.testing.assert_array_equal(got, padded[d * slab_z:(d + 1) * slab_z])
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_fit_spectral_slab_matches_replicated_trajectory():
+    """The end-to-end slab optimizer loop (VERDICT r4 #3): density
+    recovery through fit_spectral_slab follows the replicated
+    fit_spectral(method='prb') trajectory — same seeds, same estimator
+    (window-exact, stride 1), grads routed through the distributed slab
+    machinery instead of a replicated packed table."""
+    from vpt_tpu import optim
+
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.9
+    table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
+    vol = Volume.sphere_in_cube(VOL)
+    cam = Camera()
+    mesh = ray_mesh(4)
+
+    def renderer(pack, msh=None):
+        return M.MCMSpectralRenderer(
+            vol, MaterialTF(table), LightConfig(direction=(1.0, 0.2, 0.5)),
+            SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=8),
+            resolution=RES, pack_tables=pack, mesh=msh)
+
+    # converged-ish target from the true scene
+    r_t = renderer(True)
+    st = r_t.reset(cam, 99)
+    st, target = r_t.render_many(
+        st, cam, [(99 + k + 1) * 2654435761 % 2**32 for k in range(16)])
+    target = np.asarray(target)
+
+    init = np.full(vol.density.shape, 0.5, np.float32)
+    iters = 3
+
+    ref_params, ref_losses = optim.fit_spectral(
+        target, renderer(True), cam, {"density": init},
+        dispatches_per_step=4, iterations=iters, learning_rate=0.05,
+        seed=3, method="prb", scatter_stride=1)
+
+    r_slab = renderer({"material_tf", "light_spectrum"}, msh=mesh)
+    got_params, got_losses = slab.fit_spectral_slab(
+        target, r_slab, cam, init, mesh, dispatches_per_step=4,
+        iterations=iters, learning_rate=0.05, seed=3, scatter_stride=1)
+
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(got_params["density"]), np.asarray(ref_params["density"]),
+        rtol=5e-4, atol=5e-6)
+    # the step actually moved the params (gradient is nonzero end-to-end);
+    # 3 iterations at this lr is an Adam transient, so do not assert the
+    # loss direction here — trajectory equality above is the contract
+    assert np.abs(np.asarray(got_params["density"]) - init).max() > 1e-3
+    assert np.isfinite(got_losses).all()

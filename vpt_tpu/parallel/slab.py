@@ -398,6 +398,215 @@ def prb_window_grads_slab(state, ctx, mesh, volume_dims, seeds, g_image,
     return state_f, image, {"density": g[:D]}
 
 
+def _pack_slab_rows(raw, lo, slab_z: int, D: int):
+    """Build THIS device's slab of the packed corner table in-graph from
+    the replicated raw (D, H, W) density — packed row z uses raw planes
+    clip(z-1) and clip(z) (the edge-pad of pack_volume_corners) with
+    both-sides xy edge padding; rows with z > D are the zero padding of
+    pad_packed_for_slabs. Runs inside shard_map; the FULL packed table
+    (8x raw bytes) is never materialized on any device — this is what
+    makes the slab optimizer loop viable for volumes whose packed table
+    exceeds HBM while the raw grid still fits replicated."""
+    zs = lo + jnp.arange(slab_z, dtype=jnp.int32)
+    p0 = jnp.take(raw, jnp.clip(zs - 1, 0, D - 1), axis=0)
+    p1 = jnp.take(raw, jnp.clip(zs, 0, D - 1), axis=0)
+    q0 = jnp.pad(p0, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    q1 = jnp.pad(p1, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    Hp, Wp = q0.shape[1] - 1, q0.shape[2] - 1
+
+    def c(q, by, bx):
+        return q[:, by:by + Hp, bx:bx + Wp]
+
+    packed = jnp.stack(
+        [c(q0, 0, 0), c(q0, 0, 1), c(q0, 1, 0), c(q0, 1, 1),
+         c(q1, 0, 0), c(q1, 0, 1), c(q1, 1, 0), c(q1, 1, 1)], axis=-1)
+    valid = (zs <= D)[:, None, None, None]
+    return jnp.where(valid, packed, 0.0)
+
+
+def make_spectral_prb_step_slab(optimizer, mesh, volume_dims, steps: int,
+                                n_bins: int, resolution: int,
+                                streams: int = 1,
+                                scatter_stride: int = 1,
+                                volume_filter: str = "linear",
+                                grad_clip: float = 1e3,
+                                n_slab_z: int | None = None):
+    """Jitted Adam step recovering DENSITY through the slab-sharded window
+    backward — fit_spectral's engine for volumes whose packed corner table
+    exceeds one device's HBM (VERDICT r4 #3 closes the slab x optimizer
+    seam).
+
+    Design (the documented choice): the raw density param and the
+    optimizer state stay REPLICATED (a 512^3 raw grid is 512 MB — it is
+    the 8x packed table that breaks HBM); each step, every device packs
+    ONLY ITS z-slab of the corner table in-graph (_pack_slab_rows) so the
+    full packed table never exists anywhere, the K-dispatch window runs
+    with routed distributed gathers, the per-step volume-adjoint scatters
+    route to their slab owners, the packed->raw contraction is
+    distributed, and the resulting z-sharded raw gradient is gathered
+    back to the replicated param for the Adam update. A fully
+    param-sharded variant (z-sharded raw + sharded Adam state) is the
+    next step beyond if raw + moments ever exceed HBM; the gradient and
+    contraction machinery here already supports it.
+
+    Returns step(istate, state0, ctx, seeds, target) -> (istate, loss):
+    ``ctx``: the renderer ctx with FUSED 18-wide TF (pack_tables including
+    material_tf/light_spectrum) and ctx.density ignored (replaced by the
+    param); ``state0`` row-sharded over the mesh; ``seeds``: (K,) uint32;
+    ``target`` the (H, W, 3) HDR target (replicated; sharded row-wise
+    in-graph). Gradient estimator: the window-exact packed-adjoint PRB
+    (identical to prb_window_grads_slab, allclose to the replicated
+    prb_loss_and_grads)."""
+    from vpt_tpu.kernels import spectral_backward as SB
+    from vpt_tpu.optim import InverseState, sanitize_grads
+    import optax
+
+    n = mesh.devices.size
+    D, H, W = volume_dims
+    Dp_padded = D + 1 + ((-(D + 1)) % n)
+    slab_z = n_slab_z if n_slab_z is not None else Dp_padded // n
+    rows_per_device = slab_z * (H + 1) * (W + 1)
+    rows_local = resolution // n
+
+    lane = P(AXIS, None) if streams == 1 else P(None, AXIS, None)
+    binned = P(None, AXIS, None) if streams == 1 else P(None, None, AXIS, None)
+    state_specs = M.SpectralState(
+        px=lane, py=lane, pz=lane, dx=lane, dy=lane, dz=lane,
+        bounces=lane, samples=lane, bin=lane, wavelength=lane,
+        radiance=binned, transmittance=binned,
+    )
+
+    def ctx_specs(ctx):
+        return M.SpectralCtx(
+            inv_mvp=P(), seed_bits=P(), extinction=P(), blur=P(),
+            max_bounces=P(), light_direction=P(),
+            density=P(),  # the replicated RAW grid rides in ctx.density
+            material_tf=P(), light_spectrum=P(), boundaries=P(), bin_xyz=P(),
+            environment=None if ctx.environment is None else P(),
+            majorant=None if ctx.majorant is None else P(),
+        )
+
+    def shard_fn(state, ctx, seeds, target):
+        me = jax.lax.axis_index(AXIS)
+        raw = ctx.density  # replicated (D, H, W)
+        packed_slab = _pack_slab_rows(raw, me * slab_z, slab_z, D)
+        ctx = ctx._replace(density=packed_slab)
+
+        shape = (rows_local, resolution) if streams == 1 else (
+            streams, rows_local, resolution)
+        iy_local = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 2)
+        ix = jax.lax.broadcasted_iota(jnp.uint32, shape, len(shape) - 1)
+        iy = iy_local + me.astype(jnp.uint32) * jnp.uint32(rows_local)
+        seed_iy = iy
+        if streams > 1:
+            s = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+            seed_iy = iy + s * jnp.uint32(resolution)
+        sx, sy = geometry.screen_position(ix, iy, 1.0 / resolution)
+        seed_fn = lambda bits: sampling.seed_state(ix, seed_iy, bits)
+
+        def slab_sampler(density, u, v, w, mode="linear"):
+            return _sample_volume_slab(
+                density, u, v, w, rows_per_device, (D, H, W), mode)
+
+        def slab_scatter(adj, idx, upd):
+            return _distributed_scatter_add(adj, idx, upd, rows_per_device)
+
+        hooks = dict(
+            sample_volume_fn=slab_sampler, vol_scatter_fn=slab_scatter,
+            vol_meta=((D + 1, H + 1, W + 1), "full"),
+            pixel_grid=(sx, sy, seed_fn),
+            vol_adj_rows=rows_per_device,
+        )
+        m_final, image, starts, state_f = SB._window_forward(
+            state, ctx, seeds, steps, n_bins, volume_filter,
+            with_states=True, hooks=hooks)
+        # local loss cotangent on this device's rows; the loss itself is
+        # the psum of local squared-error sums over the global pixel count
+        numel = jnp.float32(resolution * resolution * 3)
+        g_img = 2.0 * (image - target) / numel
+        loss = jax.lax.psum(jnp.sum((image - target) ** 2), AXIS) / numel
+        acc = SB._prb_many_core(
+            state, ctx, seeds, g_img, steps, n_bins, volume_filter,
+            wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            m_final=m_final, starts=starts, hooks=hooks, raw_adjoints=True)
+        g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
+        return state_f, loss, g_raw
+
+    @jax.jit
+    def step(istate: "InverseState", state0, ctx, seeds, target):
+        ctx = ctx._replace(density=istate.params["density"])
+        state_f, loss, g_raw = jax.shard_map(
+            shard_fn, mesh=mesh,
+            in_specs=(state_specs, ctx_specs(ctx), P(), P(AXIS, None, None)),
+            out_specs=(state_specs, P(), P(AXIS, None, None)),
+            check_vma=False,
+        )(state0, ctx, jnp.asarray(seeds, jnp.uint32), target)
+        grads = {"density": g_raw[:D]}
+        if grad_clip is not None:
+            grads = sanitize_grads(grads, grad_clip)
+        # gather the z-sharded gradient to the replicated param layout for
+        # the Adam update (the documented replicated-param design)
+        grads = jax.lax.with_sharding_constraint(
+            grads, {"density": NamedSharding(mesh, P())})
+        updates, opt_state = optimizer.update(grads, istate.opt_state,
+                                              istate.params)
+        params = optax.apply_updates(istate.params, updates)
+        params = dict(params, density=jnp.clip(params["density"], 0.0, 1.0))
+        return InverseState(params, opt_state, istate.step + 1), loss
+
+    return step
+
+
+def fit_spectral_slab(target_image, renderer, camera, init_density, mesh,
+                      dispatches_per_step: int = 8, iterations: int = 50,
+                      learning_rate: float = 0.02, seed: int = 0,
+                      scatter_stride: int = 1, progress=None):
+    """End-to-end slab-sharded density recovery (the user-facing seam of
+    VERDICT r4 #3): like optim.fit_spectral(method="prb",
+    wrt={"density"}) but with the volume slab-sharded over ``mesh`` for
+    larger-than-HBM packed tables.
+
+    ``renderer``: an MCMSpectralRenderer built with
+    pack_tables={"material_tf", "light_spectrum"} (fused TF, RAW density
+    — the slab step packs per-device slabs in-graph) and mesh=mesh.
+    Returns (params, losses)."""
+    import numpy as np
+    import optax
+
+    from vpt_tpu.optim import InverseState
+
+    base_ctx = renderer.ctx(camera, seed)
+    assert base_ctx.material_tf.shape[-1] == 18, (
+        "fit_spectral_slab needs the fused TF "
+        "(pack_tables={'material_tf','light_spectrum'})")
+    state0 = renderer.reset(camera, seed)
+    steps = renderer.config.steps
+    n_bins = renderer.spectrum.n_bins
+    D, H, W = np.asarray(init_density).shape
+
+    params = {"density": jnp.asarray(init_density)}
+    optimizer = optax.adam(learning_rate)
+    istate = InverseState(params, optimizer.init(params),
+                          jnp.zeros((), jnp.int32))
+    step = make_spectral_prb_step_slab(
+        optimizer, mesh, (D, H, W), steps, n_bins, renderer.resolution,
+        streams=renderer.streams, scatter_stride=scatter_stride,
+        volume_filter=renderer.volume.filter)
+
+    target = jnp.asarray(target_image)
+    losses = []
+    for i in range(iterations):
+        seeds = jnp.asarray(
+            [np.uint32((seed + 1 + i * dispatches_per_step + k)
+                       * 2654435761 % 2**32)
+             for k in range(dispatches_per_step)], jnp.uint32)
+        istate, loss = step(istate, state0, base_ctx, seeds, target)
+        losses.append(float(loss))
+        if progress is not None and (i % 10 == 0 or i == iterations - 1):
+            progress(i, losses[-1])
+    return istate.params, losses
+
+
 def render_slab(state, ctx, mesh, volume_dims, steps: int, n_bins: int,
                 volume_filter: str = "linear", lower_only: bool = False):
     """One spectral render dispatch with the volume slab-sharded.
