@@ -195,7 +195,11 @@ def test_majorant_with_slab_volume_bit_identical():
     np.testing.assert_array_equal(np.asarray(out_img), np.asarray(ref_img))
 
 
-def test_majorant_rejects_gradient_paths():
+def test_majorant_gradient_path_contract():
+    """r5 contract (VERDICT r4 #4): the autodiff surrogate SUPPORTS the
+    majorant mode (score-form capped/uncapped flights + alpha/m wheel —
+    FD-validated in tests/test_majorant_grad.py); the taped packed-PRB
+    backward (collect=True) still raises."""
     import jax.numpy as jnp
 
     renderer = _renderer(4)
@@ -203,5 +207,14 @@ def test_majorant_rejects_gradient_paths():
     ctx = renderer.ctx(cam, 1)
     state = renderer.reset(cam, 1)
     score = jnp.ones_like(state.px)
+    _, _, img = M.render_diff(state, score, ctx, steps=2, n_bins=12)
+    assert np.isfinite(np.asarray(img)).all()
+
+    from vpt_tpu.ops import geometry, sampling
+
+    ix, iy, seed_iy = M._pixel_grid(state.px.shape[-1], 1)
+    sx, sy = geometry.screen_position(ix, iy, 1.0 / state.px.shape[-1])
+    rng = sampling.seed_state(ix, seed_iy, ctx.seed_bits)
     with pytest.raises(NotImplementedError):
-        M.render_diff(state, score, ctx, steps=2, n_bins=12)
+        M._render_body(renderer.reset(cam, 1), rng, None, sx, sy, ctx, 12,
+                       "linear", diff=False, collect=True)

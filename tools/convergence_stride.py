@@ -67,7 +67,8 @@ def _smoothed(density, factor=8):
 
 
 def run_curve(kind, stride, true_density, init_density, target, resolution,
-              steps, streams, iterations, dispatches_per_step, lr, seed):
+              steps, streams, iterations, dispatches_per_step, lr, seed,
+              mode="stride"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -87,7 +88,7 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
     def prb_step(s):
         return optim.make_spectral_prb_step(
             optimizer, steps, n_bins, wrt=frozenset({"density"}),
-            scatter_stride=s)
+            scatter_stride=s, scatter_mode=mode)
 
     stride_switches = []
     if kind == "autodiff":
@@ -143,7 +144,10 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
     step_s1 = None
     if kind == "auto" and stride > 1:
         step_s1 = prb_step(1)
-        warm1 = optim.InverseState(params, optimizer.init(params),
+        # fresh arrays: the prb step DONATES istate, so `params`' buffers
+        # were consumed by the first warm call above
+        p1 = {"density": jnp.asarray(init_density)}
+        warm1 = optim.InverseState(p1, optimizer.init(p1),
                                    jnp.zeros((), jnp.int32))
         warm1, wl1 = step_s1(warm1, state0, base_ctx, seeds_for(10**6), tgt)
         float(wl1)
@@ -176,7 +180,8 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
         eval_losses.append(float(eval_loss(istate.params)))
         d = np.asarray(istate.params["density"])
         dens_mse.append(float(np.mean((d - true_density) ** 2)))
-    name = {"autodiff": "autodiff", "auto": "auto"}.get(kind, f"prb-s{stride}")
+    name = {"autodiff": "autodiff", "auto": "auto"}.get(
+        kind, f"prb-{'i' if mode == 'importance' else 's'}{stride}")
     out = dict(method=name,
                times=times, train_loss=train_loss, eval_loss=eval_losses,
                init_eval_loss=init_eval, density_mse=dens_mse)
@@ -209,8 +214,10 @@ def main():
                          "discriminate methods)")
     ap.add_argument("--methods",
                     default="autodiff,prb-s1,prb-s2,prb-s4,prb-s8,auto",
-                    help="comma list from {autodiff, prb-sK, auto}; auto = "
-                         "the shipped adaptive policy (probe + stall anneal)")
+                    help="comma list from {autodiff, prb-sK, prb-iK, auto}; "
+                         "auto = the shipped adaptive policy (probe + stall "
+                         "anneal); prb-iK = importance-thinned scatters at "
+                         "stride-K's index budget")
     ap.add_argument("--out", default=None,
                     help="default: tools/convergence_stride.json for the "
                          "primary (sphere_in_cube seed 7), else "
@@ -261,12 +268,18 @@ def main():
             plan.append(("auto", 0))
         elif m.startswith("prb-s"):
             plan.append(("prb", int(m[len("prb-s"):])))
+        elif m.startswith("prb-i"):
+            # importance-thinned scatters at the same index budget as
+            # stride K (VERDICT r4 #10)
+            plan.append(("prb-imp", int(m[len("prb-i"):])))
         else:
             raise SystemExit(f"unknown method {m!r}")
     for kind, stride in plan:
-        r = run_curve(kind, stride, true_density, init_density, target,
+        mode = "importance" if kind == "prb-imp" else "stride"
+        r = run_curve("prb" if kind == "prb-imp" else kind, stride,
+                      true_density, init_density, target,
                       args.res, args.steps, args.streams, args.iters,
-                      args.dispatches, args.lr, seed=args.seed)
+                      args.dispatches, args.lr, seed=args.seed, mode=mode)
         r["init_density_mse"] = init_mse
         rows.append(r)
         print(f"# {r['method']}: {r['times'][-1]:.1f}s, "

@@ -395,10 +395,112 @@ def _contract_packed_adjoints(acc, ctx, wrt: frozenset):
     return grads
 
 
+def _bitcast_f(x):
+    """int32/bool -> f32 bit pattern (packed-tape slot encoding)."""
+    if x.dtype == jnp.bool_:
+        return x.astype(jnp.float32)
+    if x.dtype == jnp.int32:
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+    return x
+
+
+def _bitcast_i(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_bits,
+                        scatter_step, steps: int):
+    """Importance-thinned table scatters (VERDICT r4 #10): instead of the
+    uniform stride phase, each lane samples ``picks`` step indices i.i.d.
+    with probability proportional to |q_t| = |c_t * cb_t| (the cotangent x
+    eventual-contribution magnitude — exactly the factor every table
+    scatter value scales with), and scatters those steps reweighted by
+    S / (picks * |q_sel|), i.e. an effective q of sign(q) * S / picks.
+    Unbiased for any pick distribution with support wherever q != 0
+    (standard importance sampling of a finite sum); variance concentrates
+    the same scatter-index budget where the gradient mass is — the regime
+    where uniform stride thinning fails (sparse-gradient scenes,
+    CONFIGS.md "stride convergence").
+
+    Mechanics: the per-step tape fields a scatter needs are pre-packed
+    into ONE (steps * lanes, C) row table (ints/bools bit-cast into f32
+    slots), so each pick costs a single row gather per lane (the forward's
+    corner-packing trick applied to the tape) plus the same per-table
+    scatters a stride step would issue.
+    """
+    from vpt_tpu.ops import sampling
+
+    lane_shape = c_all.shape[1:]
+    L = int(np.prod(lane_shape))
+
+    q = c_all * cb_all
+    absq = jnp.abs(q)
+    S = jnp.sum(absq, axis=0)
+    p = absq / jnp.maximum(S, 1e-30)[None]
+    cdf = jnp.cumsum(p, axis=0)
+
+    # pack every tape field (plus c, cb, absq) into one row per lane-step;
+    # multi-component fields (e.g. slopes (..., 3)) take one slot per
+    # component, int/bool fields are bit-cast/encoded into f32 slots
+    fields = sorted(tape.keys())
+    cols, spec = [], []
+    base_ndim = c_all.ndim
+    for k in fields:
+        v = tape[k]
+        if v.ndim == base_ndim + 1:
+            for ci in range(v.shape[-1]):
+                cols.append(_bitcast_f(v[..., ci]))
+                spec.append((k, ci, v.dtype))
+        else:
+            cols.append(_bitcast_f(v))
+            spec.append((k, None, v.dtype))
+    n_field_cols = len(cols)
+    cols += [c_all, cb_all, absq]
+    packed = jnp.stack(cols, axis=-1).reshape(steps * L, len(cols))
+
+    lin = jnp.arange(L, dtype=jnp.uint32).reshape(lane_shape)
+    adj = adj0
+    for j in range(picks):
+        state = sampling.hash3(lin, jnp.uint32(0x9E3779B9) * jnp.uint32(j + 1),
+                               jnp.broadcast_to(pick_bits, lane_shape))
+        u = sampling.uniform_from_state(state)
+        sel = jnp.sum((cdf < u[None]).astype(jnp.int32), axis=0)
+        sel = jnp.clip(sel, 0, steps - 1)
+        rows = jnp.take(packed, (sel.reshape(-1) * L
+                                 + jnp.arange(L, dtype=jnp.int32)), axis=0)
+        rows = rows.reshape(lane_shape + (len(cols),))
+        parts = {}
+        for i, (k, ci, dt) in enumerate(spec):
+            v = rows[..., i]
+            if dt == jnp.bool_:
+                v = v > 0.5
+            elif dt == jnp.int32:
+                v = _bitcast_i(v)
+            parts.setdefault(k, {})[ci] = v
+        t_sel = {}
+        for k, comps in parts.items():
+            if list(comps.keys()) == [None]:
+                t_sel[k] = comps[None]
+            else:
+                t_sel[k] = jnp.stack(
+                    [comps[ci] for ci in sorted(comps)], axis=-1)
+        # slot layout: field components..., c, cb, absq
+        c_sel = rows[..., n_field_cols]
+        cb_sel = rows[..., n_field_cols + 1]
+        absq_sel = rows[..., n_field_cols + 2]
+        w = jnp.where(absq_sel > 0.0,
+                      S / (jnp.float32(picks) * jnp.maximum(absq_sel, 1e-30)),
+                      0.0)
+        adj = scatter_step(adj, t_sel, c_sel, cb_sel, weight=w)
+    return adj
+
+
 def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                              volume_filter: str = "linear",
                              wrt: frozenset = ALL_WRT,
                              scatter_stride: int = 1,
+                             scatter_mode: str = "stride",
+                             pick_bits=None,
                              scatter_phase=None,
                              m_final=None,
                              adj_in=None,
@@ -767,23 +869,32 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
         acc, (c_all, cb_all) = jax.lax.scan(cot_body, carry0, tape,
                                             reverse=True)
         count = steps // scatter_stride
-        if scatter_phase is None:
-            phase = (ctx.seed_bits % jnp.uint32(scatter_stride)).astype(jnp.int32)
+        if scatter_mode == "importance":
+            adj0 = _importance_scatter(
+                adj0, {k: tape[k] for k in tape
+                       if k not in ("emitted", "respawn", "pre_bin", "dist")},
+                c_all, cb_all, count,
+                ctx.seed_bits if pick_bits is None else pick_bits,
+                scatter_step, steps)
         else:
-            # explicit phase (tests / callers managing their own rotation):
-            # averaging the k phase gradients at a FIXED seed reproduces the
-            # exact gradient identically (the phases partition the steps)
-            phase = jnp.asarray(scatter_phase, jnp.int32)
-        sel = phase + scatter_stride * jnp.arange(count, dtype=jnp.int32)
-        take = lambda x: jnp.take(x, sel, axis=0)
-        sub = (jax.tree.map(take, tape), take(c_all), take(cb_all))
+            if scatter_phase is None:
+                phase = (ctx.seed_bits % jnp.uint32(scatter_stride)).astype(jnp.int32)
+            else:
+                # explicit phase (tests / callers managing their own
+                # rotation): averaging the k phase gradients at a FIXED seed
+                # reproduces the exact gradient identically (the phases
+                # partition the steps)
+                phase = jnp.asarray(scatter_phase, jnp.int32)
+            sel = phase + scatter_stride * jnp.arange(count, dtype=jnp.int32)
+            take = lambda x: jnp.take(x, sel, axis=0)
+            sub = (jax.tree.map(take, tape), take(c_all), take(cb_all))
 
-        def scat_body(adj, inp):
-            t, c, cb = inp
-            return scatter_step(adj, t, c, cb,
-                                weight=jnp.float32(scatter_stride)), None
+            def scat_body(adj, inp):
+                t, c, cb = inp
+                return scatter_step(adj, t, c, cb,
+                                    weight=jnp.float32(scatter_stride)), None
 
-        adj0, _ = jax.lax.scan(scat_body, adj0, sub)
+            adj0, _ = jax.lax.scan(scat_body, adj0, sub)
         acc = dict(acc, **adj0)
 
     cot_out = dict(c=acc["c"], cb=acc["cb"]) if return_cot else None
@@ -801,12 +912,14 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride"))
+                     "scatter_stride", "scatter_mode"))
 def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
                          volume_filter: str = "linear",
                          wrt: frozenset = ALL_WRT,
                          scatter_stride: int = 1,
-                         scatter_phase=None):
+                         scatter_mode: str = "stride",
+                         scatter_phase=None,
+                         pick_bits=None):
     """Jitted forward dispatch + hand-derived backward:
     (state_out, image, grads). Forward results are bit-identical to
     M.render on the same inputs. Dispatches on the ctx's table
@@ -822,6 +935,8 @@ def prb_render_and_grads(state0, ctx, g_image, steps: int, n_bins: int,
         return spectral_backward_packed(state0, ctx, g_image, steps, n_bins,
                                         volume_filter, wrt=wrt,
                                         scatter_stride=scatter_stride,
+                                        scatter_mode=scatter_mode,
+                                        pick_bits=pick_bits,
                                         scatter_phase=scatter_phase)
     if ctx.material_tf.shape[-1] == 4 and not packed_vol and ctx.density.ndim == 3:
         return spectral_backward(state0, ctx, g_image, steps, n_bins,
@@ -854,7 +969,8 @@ def _dispatch_phase(k, seed, n_dispatches, scatter_stride):
 
 def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
                    wrt, scatter_stride, m_final, starts=None,
-                   hooks=None, raw_adjoints=False):
+                   hooks=None, raw_adjoints=False,
+                   scatter_mode: str = "stride"):
     """Scan the packed-adjoint backward over K per-dispatch seeds inside one
     device program (the fwd+bwd analog of models/mcm_spectral.render_many):
     packed adjoints accumulate across dispatches and contract to the raw
@@ -891,7 +1007,8 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
                                     scatter_stride)
             state, _, adj = spectral_backward_packed(
                 state, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
-                scatter_stride=scatter_stride, scatter_phase=phase,
+                scatter_stride=scatter_stride, scatter_mode=scatter_mode,
+                scatter_phase=phase,
                 m_final=m_final, adj_in=adj, raw_adjoints=True, **hooks)
             return (state, adj), None
 
@@ -911,7 +1028,8 @@ def _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
         phase = _dispatch_phase(k, seed, seeds.shape[0], scatter_stride)
         _, _, adj, cot = spectral_backward_packed(
             st_k, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
-            scatter_stride=scatter_stride, scatter_phase=phase,
+            scatter_stride=scatter_stride, scatter_mode=scatter_mode,
+            scatter_phase=phase,
             m_final=m_final, adj_in=adj, raw_adjoints=True,
             cot_in=cot, return_cot=True, **hooks)
         return (cot, adj), None
@@ -941,7 +1059,8 @@ def _tape_forward_sweep(state0, ctx, seeds, steps, n_bins, volume_filter,
 
 
 def _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final, g_image,
-                        steps, n_bins, volume_filter, wrt, scatter_stride):
+                        steps, n_bins, volume_filter, wrt, scatter_stride,
+                        scatter_mode: str = "stride"):
     """Reverse dispatch scan over stored tapes with the cotangent carry
     threaded across boundaries; contracts the packed adjoints once."""
     ks = jnp.arange(seeds.shape[0], dtype=jnp.uint32)
@@ -956,7 +1075,8 @@ def _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final, g_image,
         phase = _dispatch_phase(k, seed, seeds.shape[0], scatter_stride)
         _, _, adj, cot = spectral_backward_packed(
             state0, c, g_image, steps, n_bins, volume_filter, wrt=wrt,
-            scatter_stride=scatter_stride, scatter_phase=phase,
+            scatter_stride=scatter_stride, scatter_mode=scatter_mode,
+            scatter_phase=phase,
             m_final=m_final, adj_in=adj, raw_adjoints=True,
             cot_in=cot, return_cot=True,
             tape_in=tape_k, state_out_in=state_f)
@@ -968,7 +1088,7 @@ def _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final, g_image,
 
 
 def _prb_many_tape(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
-                   wrt, scatter_stride):
+                   wrt, scatter_stride, scatter_mode: str = "stride"):
     """Window backward with TAPE storage: one taped forward sweep + one
     reverse sweep over stored tapes — one simulate total instead of the
     forward-storage mode's two (phase-0 + taped re-simulate). Returns
@@ -978,7 +1098,7 @@ def _prb_many_tape(state0, ctx, seeds, g_image, steps, n_bins, volume_filter,
         state0, ctx, seeds, steps, n_bins, volume_filter, wrt)
     grads = _tape_reverse_sweep(state0, ctx, seeds, tapes, state_f, m_final,
                                 g_image, steps, n_bins, volume_filter, wrt,
-                                scatter_stride)
+                                scatter_stride, scatter_mode)
     return state_f, image, grads
 
 
@@ -1051,11 +1171,13 @@ def _window_forward(state0, ctx, seeds, steps, n_bins, volume_filter,
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride", "window", "window_storage"))
+                     "scatter_stride", "scatter_mode", "window",
+                     "window_storage"))
 def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
                               n_bins: int, volume_filter: str = "linear",
                               wrt: frozenset = ALL_WRT,
                               scatter_stride: int = 1,
+                              scatter_mode: str = "stride",
                               window: bool = True,
                               window_storage: str = "auto"):
     """K taped fwd+bwd dispatches in one device program:
@@ -1087,30 +1209,33 @@ def prb_render_and_grads_many(state0, ctx, seeds, g_image, steps: int,
     wrt = frozenset(wrt)
     if not window:
         return _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
-                              volume_filter, wrt, scatter_stride, None)
+                              volume_filter, wrt, scatter_stride, None,
+                              scatter_mode=scatter_mode)
     if window_storage == "auto":
         window_storage = (
             "tape" if _window_tape_bytes(state0, steps, seeds.shape[0], wrt)
             <= _TAPE_AUTO_LIMIT_BYTES else "forward")
     if window_storage == "tape":
         return _prb_many_tape(state0, ctx, seeds, g_image, steps, n_bins,
-                              volume_filter, wrt, scatter_stride)
+                              volume_filter, wrt, scatter_stride,
+                              scatter_mode)
     m_final, image, starts, state_f = _window_forward(
         state0, ctx, seeds, steps, n_bins, volume_filter, with_states=True)
     grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
                            volume_filter, wrt, scatter_stride, m_final,
-                           starts=starts)
+                           starts=starts, scatter_mode=scatter_mode)
     return state_f, image, grads
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("steps", "n_bins", "volume_filter", "wrt",
-                     "scatter_stride", "window_storage"))
+                     "scatter_stride", "scatter_mode", "window_storage"))
 def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
                        volume_filter: str = "linear",
                        wrt: frozenset = frozenset({"density"}),
                        scatter_stride: int = 1,
+                       scatter_mode: str = "stride",
                        window_storage: str = "auto"):
     """MSE loss + hand-derived gradients over a K-dispatch render window —
     the packed-PRB analog of ``jax.value_and_grad(spectral_render_loss)``
@@ -1137,7 +1262,7 @@ def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
         g_image = 2.0 * (image - target) / jnp.float32(image.size)
         grads = _tape_reverse_sweep(
             state0, ctx, seeds, tapes, state_f, m_final, g_image, steps,
-            n_bins, volume_filter, wrt, scatter_stride)
+            n_bins, volume_filter, wrt, scatter_stride, scatter_mode)
     else:
         m_final, image, starts, state_f = _window_forward(
             state0, ctx, seeds, steps, n_bins, volume_filter,
@@ -1145,6 +1270,6 @@ def prb_loss_and_grads(state0, ctx, seeds, target, steps: int, n_bins: int,
         g_image = 2.0 * (image - target) / jnp.float32(image.size)
         grads = _prb_many_core(state0, ctx, seeds, g_image, steps, n_bins,
                                volume_filter, wrt, scatter_stride, m_final,
-                               starts=starts)
+                               starts=starts, scatter_mode=scatter_mode)
     loss = jnp.mean((image - target) ** 2)
     return state_f, image, loss, grads

@@ -227,10 +227,12 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     # free flight
     maj = None
     if ctx.majorant is not None:
-        if diff or collect:
+        if collect:
             raise NotImplementedError(
-                "the super-voxel majorant mode is forward-only; use the "
-                "reference-exact global-majorant path for gradients"
+                "the packed-PRB taped backward does not support the "
+                "super-voxel majorant mode; use the autodiff surrogate "
+                "(render_sequence_diff / fit_spectral method='autodiff') "
+                "for majorant-mode gradients"
             )
         # local majorant lookup: one 2-wide row gather into a ~MB table
         Gz, Gy, Gx, _ = ctx.majorant.shape
@@ -259,7 +261,20 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
         # decomposition the hand-derived backward uses
         # (kernels/spectral_backward.py), unbiased through the event wheel
         # AND the escape boundary. Forward values are unchanged.
-        logp = jnp.log(ctx.extinction) - ctx.extinction * jax.lax.stop_gradient(dist)
+        #
+        # Majorant mode (VERDICT r4 #4): the local sampling rate is
+        # extinction * m with m a DETACHED sampling-distribution choice
+        # (any valid bound gives the same expectation, so m carries no
+        # physical gradient). An uncapped flight contributes the collision
+        # density log(rate) - rate*dist; a capped flight is a pure advance
+        # whose likelihood is the survival probability exp(-rate*cap) —
+        # the log-survival term -rate*dist (dist == cap after the min).
+        if maj is not None:
+            rate = ctx.extinction * jax.lax.stop_gradient(maj)
+            logp = (jnp.where(capped, 0.0, jnp.log(rate))
+                    - rate * jax.lax.stop_gradient(dist))
+        else:
+            logp = jnp.log(ctx.extinction) - ctx.extinction * jax.lax.stop_gradient(dist)
         score = score * jnp.exp(logp - jax.lax.stop_gradient(logp))
         dist = jax.lax.stop_gradient(dist)
     px = p.px + dist * p.dx
@@ -304,10 +319,17 @@ def _render_body(p: SpectralState, rng, score, sx, sy, ctx: SpectralCtx,
     if maj is not None:
         # delta-tracking acceptance against the local majorant: real-event
         # probability alpha/m (<= 1 by construction of the table); the wheel
-        # then splits the real event into scatter/absorb like the reference
-        p_real = jnp.minimum(alpha / maj, 1.0)
+        # then splits the real event into scatter/absorb like the reference.
+        # Under diff, alpha stays differentiable (the TF->density chain) and
+        # m is detached — the acceptance score alpha/m has the same
+        # d log P / d alpha = 1/alpha form as the exact wheel. NOTE the
+        # table must remain a true bound for the CURRENT params: inverse
+        # loops that raise density past the build-time bound should rebuild
+        # the table (or build with safety headroom, ops/majorant safety=).
+        p_real = jnp.minimum(alpha / jax.lax.stop_gradient(maj), 1.0)
         p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, p_real * albedo)
         p_absorb = p_real - p_scatter
+        p_null = 1.0 - p_real
     else:
         p_null = 1.0 - alpha
         p_scatter = jnp.where(p.bounces >= ctx.max_bounces, 0.0, alpha * albedo)

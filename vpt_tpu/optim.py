@@ -239,6 +239,7 @@ def _pack_params_into_ctx(base_ctx, params: dict, raw_mtf=None, raw_light=None):
 def make_spectral_prb_step(optimizer, steps, n_bins,
                            wrt: frozenset,
                            scatter_stride: int = 1,
+                           scatter_mode: str = "stride",
                            clip_params=("density", "material_tf"),
                            raw_mtf=None, raw_light=None,
                            grad_clip: float = 1e3):
@@ -264,7 +265,8 @@ def make_spectral_prb_step(optimizer, steps, n_bins,
             base_ctx, istate.params, raw_mtf=raw_mtf, raw_light=raw_light))
         _, _, loss, grads = prb_loss_and_grads(
             state0, ctx, seeds, target, steps, n_bins,
-            wrt=wrt, scatter_stride=scatter_stride)
+            wrt=wrt, scatter_stride=scatter_stride,
+            scatter_mode=scatter_mode)
         grads = {k: grads[k] for k in istate.params}
         if grad_clip is not None:
             grads = sanitize_grads(grads, grad_clip)
@@ -357,6 +359,7 @@ def fit_spectral(
     progress=None,
     method: str | None = None,
     scatter_stride="auto",
+    scatter_mode: str = "stride",
     checkpoint: str | None = None,
     checkpoint_every: int = 25,
     eval_every: int = 10,
@@ -410,7 +413,16 @@ def fit_spectral(
         packed = (base_ctx.material_tf.shape[-1] == 18
                   and (not hasattr(base_ctx.density, "ndim")
                        or base_ctx.density.ndim == 4))
-        method = "prb" if packed else "autodiff"
+        # super-voxel majorant mode (the sparse-scene accelerator) carries
+        # its gradients through the autodiff surrogate (VERDICT r4 #4);
+        # the taped packed-PRB backward does not support it
+        method = ("prb" if packed and base_ctx.majorant is None
+                  else "autodiff")
+    elif method == "prb" and base_ctx.majorant is not None:
+        raise ValueError(
+            "the packed-PRB backward does not support the super-voxel "
+            "majorant mode; use method='autodiff' (the surrogate carries "
+            "majorant-mode gradients)")
     state0 = renderer.reset(camera, seed)
     steps = renderer.config.steps
     n_bins = renderer.spectrum.n_bins
@@ -448,7 +460,8 @@ def fit_spectral(
         def make_step(stride):
             return make_spectral_prb_step(
                 optimizer, steps, n_bins, wrt=frozenset(params),
-                scatter_stride=stride, raw_mtf=raw_mtf, raw_light=raw_light)
+                scatter_stride=stride, scatter_mode=scatter_mode,
+                raw_mtf=raw_mtf, raw_light=raw_light)
 
         step = make_step(scatter_stride)
     elif method == "autodiff":

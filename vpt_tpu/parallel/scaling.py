@@ -22,13 +22,24 @@ import numpy as np
 
 def initialize_distributed():
     """Initialize jax.distributed from standard env vars; safe to call when
-    single-process (returns False)."""
+    single-process (returns False).
+
+    Reads COORDINATOR_ADDRESS / JAX_COORDINATOR_ADDRESS, and — when the
+    deployment is not auto-detectable (e.g. plain multi-process over
+    loopback, tools/multiprocess_dryrun.py) — JAX_NUM_PROCESSES and
+    JAX_PROCESS_ID for the explicit bootstrap."""
     import jax
 
-    if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
-        return True
-    return False
+    addr = (os.environ.get("COORDINATOR_ADDRESS")
+            or os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not addr:
+        return False
+    kw = dict(coordinator_address=addr)
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ.get("JAX_PROCESS_ID", "0"))
+    jax.distributed.initialize(**kw)
+    return True
 
 
 def _sync(x) -> float:
