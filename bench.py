@@ -11,6 +11,13 @@ auxiliary fields:
      "unit": "Mpaths/s/chip", "vs_baseline": ...,
      "fwd_mpaths_per_s": ..., "fwdbwd_exact_stride1": ...}
 
+Round 5 adds speed-of-light occupancy (VERDICT r4 #7): lane-step rates
+for fwd and exact fwd+bwd against gather/scatter ceilings measured on
+the current device at the bench's own table sizes
+(fwd_fraction_of_gather_ceiling, fwdbwd_fraction_of_ceiling), plus the
+on-chip kernel-level u8 bit-exactness guard (u8_dequantize_bit_exact,
+ADVICE r4 #1).
+
 Why stride-4 is the headline (VERDICT r2 #1 asked for this promotion with
 evidence): thinning is unbiased (phase-partition identity,
 tests/test_prb_packed.py::test_scatter_stride_partition_identity) and the

@@ -535,6 +535,34 @@ def test_importance_thinning_unbiased_and_deterministic():
     den = float(np.linalg.norm(mean) * np.linalg.norm(exact_d))
     assert num / max(den, 1e-30) > 0.95
 
+    # the light-spectrum term is the one a naive |q| selection metric
+    # would BIAS (its scatter scales with the cotangent alone — an
+    # escaping path with zero contribution still carries light gradient);
+    # pin its unbiasedness under the table-magnitude metric
+    wrt_tf = frozenset({"material_tf", "light_spectrum"})
+    s0 = packed.reset(cam, seed)
+    _, _, exact_tf = prb_render_and_grads(s0, ctx, g_img, STEPS, 12,
+                                          wrt=wrt_tf)
+    exact_ls = np.asarray(exact_tf["light_spectrum"])
+
+    def imp_ls(pick_seed):
+        s0 = packed.reset(cam, seed)
+        _, _, g = prb_render_and_grads(
+            s0, ctx, g_img, STEPS, 12, wrt=wrt_tf,
+            scatter_stride=4, scatter_mode="importance",
+            pick_bits=jnp.uint32(pick_seed))
+        return np.asarray(g["light_spectrum"])
+
+    n2 = 150
+    sums2, acc2 = [], np.zeros_like(exact_ls)
+    for k in range(n2):
+        g = imp_ls((k + 11) * 2654435761 % 2**32)
+        acc2 += g
+        sums2.append(g.sum())
+    se2 = np.std(sums2) / np.sqrt(n2)
+    assert abs(acc2.sum() / n2 - exact_ls.sum()) < 4 * se2 + 1e-7, (
+        acc2.sum() / n2, exact_ls.sum(), se2)
+
 
 def test_importance_thinning_in_window_and_fit():
     """scatter_mode='importance' composes with the K-dispatch window and

@@ -240,24 +240,25 @@ def test_fit_spectral_auto_stride_probe_and_anneal():
     s, target = r.render_many(
         s, cam, [(5 + k + 1) * 2654435761 % 2**32 for k in range(8)])
 
-    # dense-ish init (values inside the TF live zone) -> stride 4
+    # dense-ish init (values inside the TF live zone) -> uniform stride 4
     dense_init = np.full(vol.density.shape, 0.6, np.float32)
     _, _, info = fit_spectral(
         np.asarray(target), packed_renderer(V(density=dense_init)), cam,
         {"density": dense_init}, iterations=2, dispatches_per_step=2,
         return_info=True)
     assert info["method"] == "prb"
-    assert info["stride_history"][0] == (0, 4)
+    assert info["stride_history"][0] == (0, "stride:4")
     assert info["live_fraction"] > 0.9
 
-    # init under the TF dead zone -> the probe demands the exact estimator
+    # init under the TF dead zone -> concentrated gradient support: the
+    # probe routes to IMPORTANCE thinning at the same index budget
     sparse_init = np.full(vol.density.shape, 0.1, np.float32)
     _, _, info = fit_spectral(
         np.asarray(target), packed_renderer(V(density=sparse_init)), cam,
         {"density": sparse_init}, iterations=2, dispatches_per_step=2,
         return_info=True)
-    assert info["stride_history"][0] == (0, 1)
-    assert info["final_stride"] == 1
+    assert info["stride_history"][0] == (0, "importance:4")
+    assert info["final_stride"] == 4
 
 
 def test_fit_spectral_warns_on_stride_fallback():
@@ -283,4 +284,5 @@ def test_fit_spectral_warns_on_stride_fallback():
             np.asarray(target), r, cam, {"density": init}, iterations=1,
             dispatches_per_step=2, scatter_stride=4, return_info=True)
     assert any("largest divisor" in str(w.message) for w in caught)
-    assert info["stride_history"][0] == (0, 3)  # largest divisor of 6 <= 4
+    # largest divisor of 6 <= 4
+    assert info["stride_history"][0] == (0, "stride:3")

@@ -1,13 +1,17 @@
-"""Hit-lane compaction benchmark (VERDICT r3 #8): default pose, where
-~2/3 of pixels miss the cube and the full kernel spends ~2/3 of its lanes
-Monte-Carlo-estimating closed-form values.
+"""Hit-lane compaction benchmark (VERDICT r3 #8; breadth r4 #5): default
+pose, where ~2/3 of pixels miss the cube and the full kernel spends ~2/3
+of its lanes Monte-Carlo-estimating closed-form values.
 
-Reports, for the canonical 512^2 x 4-stream / 128^3 workload:
-  - hit fraction (lanes the compact mode actually marches)
-  - wall-clock per dispatch batch, full vs compact
-  - HIT-pixel sample throughput both ways (the honest metric: compaction
-    deletes miss-lane churn, so scene-level Mpaths/s is incomparable)
-  - hit-pixel image parity at matched seeds
+Three modes, one JSON line each, canonical 512^2 / 128^3 workload:
+  - spectral      (x4 streams, directional light closed form)
+  - spectral-env  (x4 streams, environment-map closed form: band-fraction
+                   x subpixel-averaged equirect quadrature)
+  - mcm           (RGB MCM, env expectation closed form)
+
+Reports hit fraction, wall-clock per dispatch batch full vs compact,
+HIT-pixel sample throughput both ways (the honest metric: compaction
+deletes miss-lane churn, so scene-level Mpaths/s is incomparable), and
+hit-pixel image parity at matched seeds.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/compact_bench.py
 """
@@ -19,15 +23,24 @@ import time
 import numpy as np
 
 
-def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4):
+def _envmap():
+    v = np.linspace(0, 1, 32)[:, None, None]
+    return np.ascontiguousarray(
+        (np.stack([0.4 + 0.5 * v, 0.5 + 0.3 * v, 0.9 - 0.4 * v], axis=-1)
+         .reshape(32, 1, 3) * np.ones((32, 64, 3))), np.float32)
+
+
+def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4,
+         mode="spectral"):
     import jax
     import jax.numpy as jnp
 
     from vpt_tpu.models import mcm_spectral as M
+    from vpt_tpu.models import mcm as MM
     from vpt_tpu.scene.camera import Camera
     from vpt_tpu.scene.volume import Volume
     from vpt_tpu.utils.config import (
-        LightConfig, MaterialTF, MCMSpectralConfig, SpectrumConfig,
+        LightConfig, MaterialTF, MCMConfig, MCMSpectralConfig, SpectrumConfig,
     )
 
     table = np.zeros((256, 256, 4), np.float32)
@@ -35,16 +48,26 @@ def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4):
     table[..., 0] = 0.9
     table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
     table[..., 2] = 0.5
-    kw = dict(
-        volume=Volume.sphere_in_cube(volume),
-        material_tf=MaterialTF(table),
-        light=LightConfig(direction=(1.0, 0.2, 0.5)),
-        spectrum=SpectrumConfig(),
-        config=MCMSpectralConfig(extinction=40.0, bounces=8, steps=steps),
-        resolution=resolution, streams=streams,
-    )
+    if mode == "mcm":
+        streams = 1
+        kw = dict(
+            volume=Volume.sphere_in_cube(volume), environment=_envmap(),
+            config=MCMConfig(extinction=40.0, bounces=8, steps=steps),
+            resolution=resolution,
+        )
+    else:
+        kw = dict(
+            volume=Volume.sphere_in_cube(volume),
+            material_tf=MaterialTF(table),
+            light=LightConfig(direction=(1.0, 0.2, 0.5)),
+            spectrum=SpectrumConfig(),
+            config=MCMSpectralConfig(extinction=40.0, bounces=8, steps=steps),
+            resolution=resolution, streams=streams,
+        )
+        if mode == "spectral-env":
+            kw["environment"] = _envmap()
     cam = Camera()
-    out = {}
+    out = {"mode": mode}
 
     def run(r, label):
         seeds = lambda lo: [(lo + k) * 2654435761 % 2**32
@@ -63,8 +86,9 @@ def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4):
         out[f"{label}_paths"] = int(paths)
         return np.asarray(img), dt, state
 
-    full = M.MCMSpectralRenderer(**kw)
-    comp = M.MCMSpectralRenderer(**kw, compaction=True)
+    cls = MM.MCMRenderer if mode == "mcm" else M.MCMSpectralRenderer
+    full = cls(**kw)
+    comp = cls(**kw, compaction=True)
     t = comp._compact_tables(cam)
     hit = np.asarray(t["hit"])
     out["hit_fraction"] = round(float(hit.mean()), 4)
@@ -94,4 +118,8 @@ def main(resolution=512, volume=128, steps=8, streams=4, batch=16, rounds=4):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    modes = _sys.argv[1:] or ["spectral", "spectral-env", "mcm"]
+    for m in modes:
+        main(mode=m)

@@ -85,26 +85,28 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
     params = {"density": jnp.asarray(init_density)}
     optimizer = optax.adam(lr)
 
-    def prb_step(s):
+    def prb_step(s, m=None):
         return optim.make_spectral_prb_step(
             optimizer, steps, n_bins, wrt=frozenset({"density"}),
-            scatter_stride=s, scatter_mode=mode)
+            scatter_stride=s, scatter_mode=m or mode)
 
     stride_switches = []
     if kind == "autodiff":
         step = optim.make_spectral_inverse_step(optimizer, steps, n_bins)
     elif kind == "auto":
         # the SHIPPED policy (optim.fit_spectral scatter_stride="auto"):
-        # initial stride from the live-gradient probe, anneal to 1 on
-        # eval-loss stall. Policy evals run ON the clock (they are part of
-        # the estimator's cost); the off-clock metric eval is separate.
+        # (mode, stride) from the live-gradient probe — uniform stride
+        # thinning on broad support, importance thinning on concentrated
+        # support — anneal to exact stride 1 on eval-loss stall. Policy
+        # evals run ON the clock (they are part of the estimator's cost);
+        # the off-clock metric eval is separate.
         table = np.zeros((256, 256, 4), np.float32)
         dens = np.linspace(0, 1, 256)[:, None]
         table[..., 1] = np.where(dens > 0.3, (dens - 0.3) / 0.7, 0.0)
-        stride, frac = optim.auto_initial_stride(init_density, table)
-        print(f"# auto: live fraction {frac:.4f} -> initial stride {stride}")
-        stride_switches.append((0, stride))
-        step = prb_step(stride)
+        mode, stride, frac = optim.auto_initial_policy(init_density, table)
+        print(f"# auto: live fraction {frac:.4f} -> {mode}:{stride}")
+        stride_switches.append((0, f"{mode}:{stride}"))
+        step = prb_step(stride, mode)
     else:
         stride = stride
         step = prb_step(stride)
@@ -171,7 +173,7 @@ def run_curve(kind, stride, true_density, init_density, target, resolution,
             if detector.update(float(eval_loss(istate.params))):
                 stride = 1
                 step = step_s1
-                stride_switches.append((i + 1, 1))
+                stride_switches.append((i + 1, "stride:1"))
                 print(f"# auto: eval stall -> stride 1 at iter {i + 1}")
         elapsed += time.perf_counter() - t0
         times.append(round(elapsed, 4))

@@ -408,19 +408,61 @@ def _bitcast_i(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
+def _importance_metric(tape, c_all, cb_all, want_vol, want_tf, want_env):
+    """Per-step selection weight for importance thinning: the SUM of the
+    absolute scatter magnitudes this step would emit into every active
+    table — computed elementwise from the tape BEFORE selection (the same
+    formulas scatter_step uses). Correctness: a positive-combination
+    metric is a valid importance distribution for every table exactly
+    when it is nonzero wherever that table's scatter value is nonzero;
+    summing each table's own |value| guarantees that per construction.
+    (A plain |q| = |c*cb| metric is NOT valid for the light/env terms —
+    their scatters scale with cb alone, so a zero-contribution escaping
+    path still carries light gradient — and it wastes picks on steps
+    whose TF slope is zero, which is most steps in sparse-gradient
+    scenes: the regime this mode exists for.)"""
+    q = c_all * cb_all
+    alpha, albedo, g = tape["alpha"], tape["albedo"], tape["g"]
+    null, scat = tape["null"], tape["scatter"]
+    grad_alpha = (
+        jnp.where(null, -q / jnp.maximum(1.0 - alpha, 1e-12), 0.0)
+        + jnp.where(scat, q / jnp.maximum(alpha, 1e-12), 0.0))
+    grad_albedo = jnp.where(scat, q / jnp.maximum(albedo, 1e-12), 0.0)
+    aniso = jnp.abs(g) >= EPS
+    cosd = tape["hg_cos"]
+    g2 = g * g
+    hg_score = (-2.0 * g / jnp.maximum(1.0 - g2, 1e-9)
+                - 3.0 * (g - cosd)
+                / jnp.maximum(1.0 + g2 - 2.0 * g * cosd, 1e-9))
+    grad_graw = jnp.where(scat & aniso, q * hg_score, 0.0) * 2.0
+    metric = jnp.zeros_like(q)
+    if want_vol:
+        s = tape["slopes"]
+        metric = metric + jnp.abs(grad_albedo * s[..., 0]
+                                  + grad_alpha * s[..., 1]
+                                  + grad_graw * s[..., 2])
+    if want_tf:
+        metric = metric + (jnp.abs(grad_albedo) + jnp.abs(grad_alpha)
+                           + jnp.abs(grad_graw)
+                           + jnp.abs(cb_all * tape["light_w"]))
+    if want_env:
+        metric = metric + jnp.abs(cb_all * tape["env_w"])
+    return metric
+
+
 def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_bits,
-                        scatter_step, steps: int):
+                        scatter_step, steps: int,
+                        want_vol=True, want_tf=False, want_env=False):
     """Importance-thinned table scatters (VERDICT r4 #10): instead of the
     uniform stride phase, each lane samples ``picks`` step indices i.i.d.
-    with probability proportional to |q_t| = |c_t * cb_t| (the cotangent x
-    eventual-contribution magnitude — exactly the factor every table
-    scatter value scales with), and scatters those steps reweighted by
-    S / (picks * |q_sel|), i.e. an effective q of sign(q) * S / picks.
-    Unbiased for any pick distribution with support wherever q != 0
-    (standard importance sampling of a finite sum); variance concentrates
-    the same scatter-index budget where the gradient mass is — the regime
-    where uniform stride thinning fails (sparse-gradient scenes,
-    CONFIGS.md "stride convergence").
+    with probability proportional to the step's actual total scatter
+    magnitude (_importance_metric), and scatters those steps reweighted
+    by S / (picks * metric_sel). Unbiased per table because the metric is
+    positive wherever that table's scatter value is nonzero (standard
+    importance sampling of a finite sum); variance concentrates the same
+    scatter-index budget where the gradient mass is — the regime where
+    uniform stride thinning fails (sparse-gradient scenes, CONFIGS.md
+    "stride convergence").
 
     Mechanics: the per-step tape fields a scatter needs are pre-packed
     into ONE (steps * lanes, C) row table (ints/bools bit-cast into f32
@@ -433,8 +475,8 @@ def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_bits,
     lane_shape = c_all.shape[1:]
     L = int(np.prod(lane_shape))
 
-    q = c_all * cb_all
-    absq = jnp.abs(q)
+    absq = _importance_metric(tape, c_all, cb_all, want_vol, want_tf,
+                              want_env)
     S = jnp.sum(absq, axis=0)
     p = absq / jnp.maximum(S, 1e-30)[None]
     cdf = jnp.cumsum(p, axis=0)
@@ -875,7 +917,8 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                        if k not in ("emitted", "respawn", "pre_bin", "dist")},
                 c_all, cb_all, count,
                 ctx.seed_bits if pick_bits is None else pick_bits,
-                scatter_step, steps)
+                scatter_step, steps,
+                want_vol=want_vol, want_tf=want_tf, want_env=want_env)
         else:
             if scatter_phase is None:
                 phase = (ctx.seed_bits % jnp.uint32(scatter_stride)).astype(jnp.int32)

@@ -321,9 +321,35 @@ def auto_initial_stride(init_density, tf_table, dense_stride: int = 4,
                         threshold: float = LIVE_FRACTION_STRIDE_THRESHOLD):
     """Initial scatter stride from the live-gradient-fraction probe:
     ``dense_stride`` when the gradient support is broad (thinning variance
-    is MC-dominated and nearly free), 1 when it is concentrated."""
+    is MC-dominated and nearly free), 1 when it is concentrated.
+
+    Prefer auto_initial_policy (below), which routes the concentrated
+    regime to importance thinning instead of giving up the thinning win."""
     frac = live_gradient_fraction(init_density, tf_table)
     return (dense_stride if frac >= threshold else 1), frac
+
+
+def auto_initial_policy(init_density, tf_table, stride: int = 4,
+                        threshold: float = LIVE_FRACTION_STRIDE_THRESHOLD):
+    """(scatter_mode, stride, live_fraction) for the adaptive estimator:
+
+    - broad gradient support -> uniform stride thinning (cheapest
+      selection; the k-fold table-grad variance is MC-dominated);
+    - concentrated support -> IMPORTANCE thinning at the same index
+      budget: per-lane step selection proportional to the actual
+      per-table scatter magnitude. Measured on the two_spheres f16
+      recovery (the scene class where uniform stride 4/8 stall and even
+      the exact stride 1 is the prior fallback): importance-4 reaches
+      every eval-loss threshold 1.6x faster than stride 1 (CONFIGS.md
+      "stride convergence", r5).
+
+    The runtime stall detector (EvalStallDetector) remains the safety
+    net: on stall, fit_spectral anneals to the exact stride-1 estimator.
+    """
+    frac = live_gradient_fraction(init_density, tf_table)
+    if frac >= threshold:
+        return "stride", stride, frac
+    return "importance", stride, frac
 
 
 class EvalStallDetector:
@@ -383,13 +409,17 @@ def fit_spectral(
 
     ``scatter_stride``: "auto" (default) makes the estimator
     self-defending against the r4 finding that the thinning trade is
-    scene-dependent: the initial stride comes from the live-gradient
-    probe (auto_initial_stride: 4 on broad gradient support, 1 on
-    concentrated support), and while thinned a fixed-seed eval loss is
-    checked every ``eval_every`` iterations — if it stalls
-    (EvalStallDetector), the stride anneals to 1. An integer forces that
-    stride (lowered to the largest divisor of ``steps`` with a warning
-    when it does not divide; the effective value is in ``info``).
+    scene-dependent: the live-gradient probe picks the initial
+    (mode, stride) — uniform stride-4 thinning on broad gradient
+    support, IMPORTANCE thinning at the same index budget on
+    concentrated support (auto_initial_policy; importance-4 measured
+    1.6x faster than even the exact stride 1 on the sparse recovery,
+    CONFIGS.md "stride convergence" r5) — and while thinned a
+    fixed-seed eval loss is checked every ``eval_every`` iterations; if
+    it stalls (EvalStallDetector) the estimator anneals to the exact
+    stride 1. An integer forces that stride (lowered to the largest
+    divisor of ``steps`` with a warning when it does not divide; the
+    effective policy is in ``info``), combined with ``scatter_mode``.
 
     ``checkpoint``: path for periodic (params, opt_state, step) snapshots
     (save_inverse_checkpoint); if the file already exists the run RESUMES
@@ -442,7 +472,8 @@ def fit_spectral(
             probe_density = init_params.get("density", renderer.volume.density)
             probe_tf = np.asarray(
                 init_params.get("material_tf", renderer.material_tf.table))
-            scatter_stride, frac = auto_initial_stride(probe_density, probe_tf)
+            scatter_mode, scatter_stride, frac = auto_initial_policy(
+                probe_density, probe_tf)
             info["live_fraction"] = frac
             anneal_armed = scatter_stride > 1
         if steps % scatter_stride != 0:
@@ -457,19 +488,20 @@ def fit_spectral(
                 "(the effective estimator differs from the requested one)")
             scatter_stride = eff
 
-        def make_step(stride):
+        def make_step(stride, mode):
             return make_spectral_prb_step(
                 optimizer, steps, n_bins, wrt=frozenset(params),
-                scatter_stride=stride, scatter_mode=scatter_mode,
+                scatter_stride=stride, scatter_mode=mode,
                 raw_mtf=raw_mtf, raw_light=raw_light)
 
-        step = make_step(scatter_stride)
+        step = make_step(scatter_stride, scatter_mode)
     elif method == "autodiff":
         scatter_stride = 1
         step = make_spectral_inverse_step(optimizer, steps, n_bins)
     else:
         raise ValueError(f"unknown method {method!r} (prb | autodiff)")
-    info["stride_history"].append((0, int(scatter_stride)))
+    info["stride_history"].append((0, f"{scatter_mode}:{scatter_stride}"
+                                   if method == "prb" else "autodiff"))
 
     start = 0
     if checkpoint and os.path.exists(checkpoint):
@@ -512,13 +544,14 @@ def fit_spectral(
             if detector.update(ev):
                 warnings.warn(
                     f"eval loss stalled at iteration {i + 1} under "
-                    f"scatter_stride={scatter_stride}; annealing to the "
-                    "exact estimator (stride 1) — see CONFIGS.md 'stride "
-                    "convergence' for why thinning stalls on sparse-"
-                    "gradient scenes")
+                    f"{scatter_mode} thinning (stride {scatter_stride}); "
+                    "annealing to the exact estimator (stride 1) — see "
+                    "CONFIGS.md 'stride convergence' for the thinning "
+                    "trade's scene dependence")
                 scatter_stride = 1
-                step = make_step(1)
-                info["stride_history"].append((i + 1, 1))
+                scatter_mode = "stride"
+                step = make_step(1, "stride")
+                info["stride_history"].append((i + 1, "stride:1"))
                 anneal_armed = False
         if progress is not None and (i % 10 == 0 or i == iterations - 1):
             progress(i, losses[-1])
