@@ -279,3 +279,49 @@ def test_fit_spectral_slab_matches_replicated_trajectory():
     # loss direction here — trajectory equality above is the contract
     assert np.abs(np.asarray(got_params["density"]) - init).max() > 1e-3
     assert np.isfinite(got_losses).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_slab_window_importance_grads_match_replicated():
+    """Importance-thinned scatters compose with the slab path, and because
+    pick selection seeds from GLOBAL lane identity, the slab gradient
+    matches the replicated importance gradient (same picks; only routed
+    float summation order differs)."""
+    table = np.zeros((256, 256, 4), np.float32)
+    dens = np.linspace(0, 1, 256)[:, None]
+    table[..., 0] = 0.7
+    table[..., 1] = 0.1 + 0.8 * dens
+    volume = Volume.sphere_in_cube(VOL)
+    renderer = M.MCMSpectralRenderer(
+        volume, MaterialTF(table),
+        LightConfig(direction=(1.0, 0.2, 0.3)),
+        SpectrumConfig(), MCMSpectralConfig(extinction=20.0, steps=8),
+        resolution=RES, pack_tables=True)
+    cam = Camera()
+    mesh = ray_mesh(4)
+    seeds = jnp.asarray([3, 4, 5, 6], jnp.uint32)
+    g_img = jnp.ones((RES, RES, 3), jnp.float32)
+
+    from vpt_tpu.kernels.spectral_backward import prb_render_and_grads_many
+
+    ctx = renderer.ctx(cam, 3)
+    s0 = renderer.reset(cam, 3)
+    _, _, ref = prb_render_and_grads_many(
+        s0, ctx, seeds, g_img, 8, 12, wrt=frozenset({"density"}),
+        scatter_stride=4, scatter_mode="importance")
+
+    packed_np = interp.pack_volume_corners(volume.density)
+    padded = slab.pad_packed_for_slabs(packed_np, 4)
+    ctx2 = jax.tree.map(lambda x: jax.device_put(x, replicated(mesh)),
+                        renderer.ctx(cam, 3))
+    ctx2 = ctx2._replace(density=slab.shard_packed_volume(padded, mesh))
+    state2 = shard_spectral_state(renderer.reset(cam, 3), mesh)
+    g2 = jax.device_put(g_img, row_sharding(mesh, 3, 0))
+    _, _, got = slab.prb_window_grads_slab(
+        state2, ctx2, mesh, volume_dims=volume.density.shape, seeds=seeds,
+        g_image=g2, steps=8, n_bins=12, scatter_stride=4,
+        scatter_mode="importance")
+    ref_d = np.asarray(ref["density"])
+    got_d = np.asarray(got["density"])
+    assert np.abs(ref_d).max() > 0
+    np.testing.assert_allclose(got_d, ref_d, rtol=2e-5, atol=1e-7)

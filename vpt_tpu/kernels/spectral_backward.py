@@ -450,7 +450,7 @@ def _importance_metric(tape, c_all, cb_all, want_vol, want_tf, want_env):
     return metric
 
 
-def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_bits,
+def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_state,
                         scatter_step, steps: int,
                         want_vol=True, want_tf=False, want_env=False):
     """Importance-thinned table scatters (VERDICT r4 #10): instead of the
@@ -500,11 +500,13 @@ def _importance_scatter(adj0, tape, c_all, cb_all, picks: int, pick_bits,
     cols += [c_all, cb_all, absq]
     packed = jnp.stack(cols, axis=-1).reshape(steps * L, len(cols))
 
-    lin = jnp.arange(L, dtype=jnp.uint32).reshape(lane_shape)
+    # pick_state: per-lane uint32 seeded from GLOBAL lane identity (pixel
+    # coords + stream row + pick_bits) so importance selection — like every
+    # other random draw in the build — is bit-identical across mesh shapes
     adj = adj0
     for j in range(picks):
-        state = sampling.hash3(lin, jnp.uint32(0x9E3779B9) * jnp.uint32(j + 1),
-                               jnp.broadcast_to(pick_bits, lane_shape))
+        state = sampling.pcg_hash(
+            pick_state ^ (jnp.uint32(0x9E3779B9) * jnp.uint32(j + 1)))
         u = sampling.uniform_from_state(state)
         sel = jnp.sum((cdf < u[None]).astype(jnp.int32), axis=0)
         sel = jnp.clip(sel, 0, steps - 1)
@@ -912,11 +914,18 @@ def spectral_backward_packed(state0, ctx, g_image, steps: int, n_bins: int,
                                             reverse=True)
         count = steps // scatter_stride
         if scatter_mode == "importance":
+            bits = (ctx.seed_bits if pick_bits is None
+                    else jnp.uint32(pick_bits)) ^ jnp.uint32(0x7F4A7C15)
+            if pixel_grid is None:
+                pick_state = sampling.seed_state(ix, seed_iy, bits)
+            else:
+                # slab wrapper: seed_fn carries this device's GLOBAL
+                # pixel/stream coords, so picks stay mesh-shape invariant
+                pick_state = seed_fn(bits)
             adj0 = _importance_scatter(
                 adj0, {k: tape[k] for k in tape
                        if k not in ("emitted", "respawn", "pre_bin", "dist")},
-                c_all, cb_all, count,
-                ctx.seed_bits if pick_bits is None else pick_bits,
+                c_all, cb_all, count, pick_state,
                 scatter_step, steps,
                 want_vol=want_vol, want_tf=want_tf, want_env=want_env)
         else:

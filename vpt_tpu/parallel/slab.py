@@ -211,7 +211,8 @@ def _contract_slab_adjoint(adj_flat, D, H, W, slab_z):
 
 def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
                    n_bins: int, volume_filter: str = "linear",
-                   scatter_stride: int = 1, lower_only: bool = False):
+                   scatter_stride: int = 1, scatter_mode: str = "stride",
+                   lower_only: bool = False):
     """Packed-PRB density gradients of one render dispatch with the volume
     slab-sharded (VERDICT r3 #6: the composition matrix's last cell).
 
@@ -282,6 +283,7 @@ def prb_grads_slab(state, ctx, mesh, volume_dims, g_image, steps: int,
         state_out, image, acc = SB.spectral_backward_packed(
             state, ctx, g_img, steps, n_bins, volume_filter,
             wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            scatter_mode=scatter_mode,
             adj_in=adj_in, raw_adjoints=True,
             sample_volume_fn=slab_sampler, vol_scatter_fn=slab_scatter,
             vol_meta=((D + 1, H + 1, W + 1), "full"),
@@ -305,6 +307,7 @@ def prb_window_grads_slab(state, ctx, mesh, volume_dims, seeds, g_image,
                           steps: int, n_bins: int,
                           volume_filter: str = "linear",
                           scatter_stride: int = 1,
+                          scatter_mode: str = "stride",
                           lower_only: bool = False):
     """K-dispatch WINDOW packed-PRB density gradients with the volume
     slab-sharded — the multi-dispatch companion of ``prb_grads_slab`` and
@@ -381,6 +384,7 @@ def prb_window_grads_slab(state, ctx, mesh, volume_dims, seeds, g_image,
         acc = SB._prb_many_core(
             state, ctx, seeds, g_img, steps, n_bins, volume_filter,
             wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            scatter_mode=scatter_mode,
             m_final=m_final, starts=starts, hooks=hooks, raw_adjoints=True)
         g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
         return state_f, image, g_raw
@@ -428,6 +432,7 @@ def make_spectral_prb_step_slab(optimizer, mesh, volume_dims, steps: int,
                                 n_bins: int, resolution: int,
                                 streams: int = 1,
                                 scatter_stride: int = 1,
+                                scatter_mode: str = "stride",
                                 volume_filter: str = "linear",
                                 grad_clip: float = 1e3,
                                 n_slab_z: int | None = None):
@@ -528,6 +533,7 @@ def make_spectral_prb_step_slab(optimizer, mesh, volume_dims, steps: int,
         acc = SB._prb_many_core(
             state, ctx, seeds, g_img, steps, n_bins, volume_filter,
             wrt=frozenset({"density"}), scatter_stride=scatter_stride,
+            scatter_mode=scatter_mode,
             m_final=m_final, starts=starts, hooks=hooks, raw_adjoints=True)
         g_raw = _contract_slab_adjoint(acc["g_vol"], D, H, W, slab_z)
         return state_f, loss, g_raw
@@ -560,7 +566,8 @@ def make_spectral_prb_step_slab(optimizer, mesh, volume_dims, steps: int,
 def fit_spectral_slab(target_image, renderer, camera, init_density, mesh,
                       dispatches_per_step: int = 8, iterations: int = 50,
                       learning_rate: float = 0.02, seed: int = 0,
-                      scatter_stride: int = 1, progress=None):
+                      scatter_stride: int = 1, scatter_mode: str = "stride",
+                      progress=None):
     """End-to-end slab-sharded density recovery (the user-facing seam of
     VERDICT r4 #3): like optim.fit_spectral(method="prb",
     wrt={"density"}) but with the volume slab-sharded over ``mesh`` for
@@ -591,6 +598,7 @@ def fit_spectral_slab(target_image, renderer, camera, init_density, mesh,
     step = make_spectral_prb_step_slab(
         optimizer, mesh, (D, H, W), steps, n_bins, renderer.resolution,
         streams=renderer.streams, scatter_stride=scatter_stride,
+        scatter_mode=scatter_mode,
         volume_filter=renderer.volume.filter)
 
     target = jnp.asarray(target_image)
