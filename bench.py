@@ -123,7 +123,7 @@ def measure_forward(resolution, volume_size, steps, streams, batch, reps):
 
 
 def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
-                   scatter_stride=1, chunk=4):
+                   scatter_stride=1, chunk=4, scatter_mode="stride"):
     """fwd+bwd Mpaths/s on the production shape: scan-batched packed-adjoint
     windows (prb_render_and_grads_many — image + summed density gradients
     per K-dispatch device program) until >= target_spp accumulated."""
@@ -141,7 +141,7 @@ def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
             [(lo + k) * 2654435761 % 2**32 for k in range(chunk)], jnp.uint32)
         return prb_render_and_grads_many(
             state, ctx, seeds, g_img, steps, 12, wrt=wrt,
-            scatter_stride=scatter_stride)
+            scatter_stride=scatter_stride, scatter_mode=scatter_mode)
 
     state, img, g = window(state, 2)  # compile + warm
     float(jnp.sum(g["density"]))
@@ -160,8 +160,8 @@ def measure_fwdbwd(resolution, volume_size, steps, streams, target_spp,
     mpaths = paths / dt / 1e6
     lane_steps = resolution * resolution * streams * steps * reps * chunk
     print(
-        f"# fwd+bwd (stride={scatter_stride}): {reps * chunk} dispatches in "
-        f"{dt:.2f}s; {spp:.1f} spp; {mpaths:.2f} Mpaths/s; "
+        f"# fwd+bwd ({scatter_mode}={scatter_stride}): {reps * chunk} "
+        f"dispatches in {dt:.2f}s; {spp:.1f} spp; {mpaths:.2f} Mpaths/s; "
         f"{lane_steps / dt / 1e6:.1f} M lane-steps/s",
         file=sys.stderr,
     )
@@ -324,6 +324,9 @@ def main():
                                      target_spp)
     thinned, _ = measure_fwdbwd(resolution, volume_size, steps, streams,
                                 target_spp, scatter_stride=4)
+    importance, _ = measure_fwdbwd(resolution, volume_size, steps, streams,
+                                   target_spp, scatter_stride=4,
+                                   scatter_mode="importance")
     print(json.dumps({
         "metric": "spectral_mcm_fwdbwd_thinned_s4_512x512_64spp",
         "value": round(thinned, 3),
@@ -334,6 +337,9 @@ def main():
         "thinned_vs_exact_baseline": _vs_baseline(thinned),
         "fwd_mpaths_per_s": round(fwd, 3),
         "fwdbwd_exact_stride1": round(exact, 3),
+        # importance thinning at stride-4's index budget (the sparse-scene
+        # estimator of the r5 auto policy; CONFIGS.md "stride convergence")
+        "fwdbwd_importance_i4": round(importance, 3),
         # speed-of-light occupancy (VERDICT r4 #7): lane-step rates vs the
         # gather/scatter walls measured ON THIS DEVICE at this table size
         "fwd_lane_steps_per_s": round(fwd_ls),

@@ -505,22 +505,27 @@ def _stride_convergence_section():
             "",
         ]
     lines += [
-        "Verdict (r4, after scene/seed replicates): the thinning trade is",
-        "SCENE-DEPENDENT. On dense-gradient recoveries (sphere_in_cube,",
-        "both seeds) stride 4 — and even stride 8 — reaches every",
-        "threshold fastest in wall-clock: gradient noise is MC-dominated,",
-        "so the k-fold table-grad variance is nearly free while the",
-        "scatter wall drops k-fold. On the sparse-live-voxel recovery",
-        "(two_spheres from a 16x-smoothed init: ~3% of voxels in the TF's",
-        "live zone) the ranking INVERTS — stride 1 reaches the deepest",
-        "threshold, strides 4/8 stall above the 0.5x threshold in both",
-        "seed replicates: with gradient signal concentrated in few voxels,",
-        "thinning variance is no longer free. Stride 4 stays the default",
-        "for the canonical config-4 task and the BENCH headline; for",
-        "sparse or hard-init problems use scatter_stride=1 (the exact",
-        "estimator) — fit_spectral's docstring carries this guidance.",
-        "Wall-clock outliers from the shared-tunnel device are possible on",
-        "any single row; the s/iter column is the robust comparison.",
+        "Verdict (r5; supersedes the r4 fixed-stride guidance): the",
+        "thinning trade is SCENE-DEPENDENT, and the estimator now adapts.",
+        "Dense-gradient recoveries (sphere_in_cube, both seeds): uniform",
+        "stride 4 — and even 8 — reaches every threshold fastest (gradient",
+        "noise is MC-dominated, the k-fold table-grad variance nearly",
+        "free); stride 8 is unreliable at the deepest threshold. On the",
+        "sparse-live-voxel recovery (two_spheres, 16x-smoothed init, ~3%",
+        "of voxels in the TF's live zone) uniform strides 4/8 STALL — but",
+        "IMPORTANCE thinning at the same index budget (prb-i4: per-lane",
+        "step selection proportional to the actual per-table scatter",
+        "magnitude, kernels/spectral_backward._importance_scatter) beats",
+        "even the exact stride 1 by ~1.6x wall-clock at every threshold.",
+        "The shipped default is scatter_stride='auto'",
+        "(optim.auto_initial_policy): a live-gradient-fraction probe",
+        "routes broad-support problems to stride:4 and concentrated-",
+        "support problems to importance:4, with a fixed-seed eval-loss",
+        "stall detector annealing to the exact stride 1 as the safety",
+        "net; the 'auto' rows measure that policy with its probe and",
+        "on-clock policy evals included. Wall-clock outliers from the",
+        "shared-tunnel device are possible on any single row; the s/iter",
+        "column is the robust comparison.",
         "",
     ]
     return lines

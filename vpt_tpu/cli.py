@@ -304,6 +304,7 @@ def _cmd_invert_spectral(args):
         np.asarray(target), renderer(Volume(density=init)), cam,
         {"density": init}, iterations=args.iterations,
         method=args.method, scatter_stride=args.scatter_stride,
+        scatter_mode=args.scatter_mode,
         progress=lambda i, l: print(f"iter {i}: loss {l:.6f}",
                                     file=sys.stderr))
     rec = np.asarray(params["density"])
@@ -385,8 +386,14 @@ def main(argv=None):
     sp.add_argument("--scatter-stride", default="auto",
                     type=lambda s: s if s == "auto" else int(s),
                     help="PRB scatter thinning stride (unbiased); 'auto' "
-                         "probes the live-gradient fraction and anneals to "
-                         "1 on eval-loss stall (optim.fit_spectral)")
+                         "probes the live-gradient fraction (stride vs "
+                         "importance thinning) and anneals to exact on "
+                         "eval-loss stall (optim.fit_spectral)")
+    sp.add_argument("--scatter-mode", choices=["stride", "importance"],
+                    default="stride",
+                    help="thinning step selection for a FORCED integer "
+                         "stride: uniform phase vs importance (by scatter "
+                         "magnitude); ignored under --scatter-stride auto")
     sp.set_defaults(fn=cmd_invert)
 
     args = p.parse_args(argv)
