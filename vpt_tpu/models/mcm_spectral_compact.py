@@ -20,7 +20,13 @@ On TPU the lane set is ours to choose, so compaction:
    seeding) matches the full kernel; each lane's RNG chain seeds from its
    pixel's (ix, iy + s*resolution) exactly like the full kernel, so a
    hit pixel's estimate is the full kernel's estimate for the same seeds
-   (same draws, same deposits — scatter-order float rounding aside);
+   (same draws, same event sequences — bit-identical sample counters in
+   every mode). Deposit values are bit-identical for the directional-
+   light path; under an ENVIRONMENT map a handful of near-polar escape
+   deposits can differ by ~1e-3: the equirect v goes through arcsin
+   (unbounded derivative at the poles), which amplifies the ulp-level
+   direction-rounding differences between the two differently-shaped
+   XLA programs (ARCHITECTURE.md "the env-mode parity caveat");
 3. replaces miss pixels with the closed-form expectation of the SAME
    estimator: per-bin mean radiance E[1{bin(l)=b} * escape(l, dir)]
    = 5 * I_b * mean_gain(pixel), with I_b the per-bin integral of the
@@ -28,9 +34,11 @@ On TPU the lane set is ours to choose, so compaction:
    lookup arithmetic) and mean_gain the subpixel-averaged directional
    factor max(dot(dir, light_dir), 0).
 
-Restrictions (asserted): blur == 0 (DoF widens the ray bundle beyond the
-pixel pyramid), no environment map (its per-direction escape integral is
-a different closed form — fall back to the full kernel), no mesh.
+Restrictions (raised as ValueError): blur == 0 (DoF widens the ray bundle
+beyond the pixel pyramid), no mesh. Environment maps ARE supported
+(round 5): the miss closed form becomes the per-bin band fraction times
+the subpixel-averaged equirect lookup (analytic_miss_radiance_env);
+RGB MCM gets the same machinery in models/mcm_compact.py.
 
 Measured (tools/compact_bench.py, one v5e chip, default pose, 512^2 x 4
 streams, 128^3): see ARCHITECTURE.md "Hit-lane compaction".
