@@ -22,8 +22,27 @@ import os
 import subprocess
 import sys
 
-PORT = 12655
+# script mode puts tools/ (not the repo root) at sys.path[0]; make the
+# package importable for this process and every subprocess it spawns —
+# APPEND to PYTHONPATH, never overwrite (the TPU plugin rides on it)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+os.environ["PYTHONPATH"] = (
+    _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")).rstrip(os.pathsep)
+
+PORT = int(os.environ.get("VPT_MP_PORT", "12655"))
 RES = 32  # rows divisible by 8
+
+
+def _free_port() -> int:
+    """Bind-and-release an ephemeral port for the coordinator so concurrent
+    runs (or a lingering coordinator from an aborted one) cannot collide."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def scene_args():
@@ -149,6 +168,7 @@ def main():
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
                         "JAX_PROCESS_ID")}
+    env["VPT_MP_PORT"] = str(_free_port())
     procs = [subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(i)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
@@ -167,6 +187,10 @@ def main():
     ref = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--reference"],
         capture_output=True, text=True, timeout=900, env=env)
+    if ref.returncode != 0 or not ref.stdout.strip():
+        print(f"reference rc={ref.returncode}\n{ref.stderr[-2000:]}",
+              file=sys.stderr)
+        sys.exit(1)
     refj = json.loads(ref.stdout.strip().splitlines()[-1])
 
     result = dict(ok=ok, workers=outs, reference=refj)
