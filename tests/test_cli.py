@@ -79,3 +79,21 @@ def test_animate(tmp_path, capsys):
     ])
     files = sorted(os.listdir(outdir))
     assert len(files) == 2
+
+
+def test_invert_spectral_importance_mode(tmp_path, capsys):
+    """The invert subcommand's r5 estimator flags plumb end-to-end: a forced
+    integer stride with --scatter-mode importance runs the importance-thinned
+    packed-PRB estimator (optim.fit_spectral scatter_mode) and writes the
+    recovered grid + JSON metrics."""
+    out = str(tmp_path / "rec.npy")
+    captured = _run(capsys, [
+        "invert", "--spectral", "--volume-size", "16", "--resolution", "16",
+        "--iterations", "2", "--method", "prb", "--scatter-stride", "2",
+        "--scatter-mode", "importance", "--output", out,
+    ])
+    assert os.path.exists(out)
+    metrics = json.loads(captured.out.strip().splitlines()[-1])
+    assert np.isfinite(metrics["final_loss"])
+    assert np.isfinite(metrics["density_mae"])
+    assert np.load(out).shape == (16, 16, 16)
